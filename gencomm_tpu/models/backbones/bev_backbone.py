@@ -1,0 +1,74 @@
+"""SSD-style multiscale BEV backbone.
+
+Parity target: opencood/models/sub_modules/base_bev_backbone.py:6-156
+(BaseBEVBackbone): N levels of strided conv stacks, per-level deconv
+up-heads concatenated to a single 2D feature map. Also exposes the
+multiscale encode/decode split used by HEAL pyramid fusion
+(get_multiscale_feature / decode_multiscale_feature, :127-156).
+
+NHWC layout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gencomm_tpu.models.layers import ConvBNReLU, DeconvBNReLU
+
+
+class BEVBackbone(nn.Module):
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[int] = ()
+    num_upsample_filters: Sequence[int] = ()
+
+    def _blocks(self):
+        return list(zip(self.layer_nums, self.layer_strides, self.num_filters))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.encode_multiscale(x, train)
+        return self.decode_multiscale(feats, train)
+
+    def encode_multiscale(self, x, train: bool = False):
+        feats = []
+        for i, (n_layers, stride, filters) in enumerate(self._blocks()):
+            x = ConvBNReLU(filters, kernel=3, stride=stride, name=f"block{i}_0")(
+                x, train
+            )
+            for k in range(n_layers):
+                x = ConvBNReLU(filters, kernel=3, name=f"block{i}_{k + 1}")(x, train)
+            feats.append(x)
+        return feats
+
+    def decode_multiscale(self, feats, train: bool = False):
+        ups = []
+        for i, x in enumerate(feats):
+            if i < len(self.upsample_strides):
+                s = self.upsample_strides[i]
+                f = self.num_upsample_filters[i]
+                if s >= 1:
+                    x = DeconvBNReLU(f, stride=int(s), name=f"deblock{i}")(x, train)
+                else:
+                    x = ConvBNReLU(
+                        f, kernel=int(round(1 / s)), stride=int(round(1 / s)),
+                        name=f"deblock{i}",
+                    )(x, train)
+            ups.append(x)
+        if len(ups) > 1:
+            return jnp.concatenate(ups, axis=-1)
+        return ups[0]
+
+    @staticmethod
+    def from_config(cfg: dict) -> "BEVBackbone":
+        return BEVBackbone(
+            layer_nums=tuple(cfg["layer_nums"]),
+            layer_strides=tuple(cfg["layer_strides"]),
+            num_filters=tuple(cfg["num_filters"]),
+            upsample_strides=tuple(cfg.get("upsample_strides", ())),
+            num_upsample_filters=tuple(cfg.get("num_upsample_filter", ())),
+        )

@@ -1,0 +1,158 @@
+"""Rotated-box (convex quad) IoU, fully jittable with static shapes.
+
+The reference computes polygon IoU on CPU via shapely (opencood/utils/
+common_utils.py:230-255, consumed by nms_rotated box_utils.py:915 and the
+CUDA kernel opencood/pcdet_utils/iou3d_nms). On TPU we want this in-graph:
+
+Convex-convex intersection without scatter/compaction:
+  candidate vertices = {verts of A inside B} ∪ {verts of B inside A}
+                       ∪ {edge-edge intersection points}        (<= 24)
+  intersection area  = shoelace over candidates sorted by angle around
+                       their centroid (valid-masked).
+
+Exact for convex quads (up to fp error); degenerate overlaps (shared edges)
+are measure-zero for NMS/eval purposes.
+
+Quads must be consistently wound (the corner template in
+utils/box_utils.py yields CCW bottom faces — winding only matters for
+the sign handled by ``abs`` in the shoelace).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+_NCAND = 24  # 4 + 4 + 16
+
+
+def _cross2(o, a, b):
+    """Cross product (a - o) x (b - o), last dim 2."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _points_in_quad(points, quad):
+    """points (..., P, 2) inside convex quad (..., 4, 2) -> (..., P) bool.
+
+    Handles either winding by requiring all edge cross-products to share a
+    sign.
+    """
+    q0 = quad[..., None, :, :]  # (..., 1, 4, 2)
+    q1 = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
+    p = points[..., :, None, :]  # (..., P, 1, 2)
+    crosses = _cross2(q0, q1, p)  # (..., P, 4)
+    return (crosses >= -_EPS).all(axis=-1) | (crosses <= _EPS).all(axis=-1)
+
+
+def _edge_intersections(qa, qb):
+    """All 16 edge-edge intersection points between two quads.
+
+    qa, qb: (..., 4, 2). Returns points (..., 16, 2), valid (..., 16).
+    """
+    a0 = qa[..., :, None, :]  # (..., 4, 1, 2)
+    a1 = jnp.roll(qa, -1, axis=-2)[..., :, None, :]
+    b0 = qb[..., None, :, :]  # (..., 1, 4, 2)
+    b1 = jnp.roll(qb, -1, axis=-2)[..., None, :, :]
+
+    r = a1 - a0
+    s = b1 - b0
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]  # (..., 4, 4)
+    qp = b0 - a0
+    t_num = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    u_num = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    t = t_num / safe
+    u = u_num / safe
+    valid = (
+        (jnp.abs(denom) > _EPS)
+        & (t >= -_EPS) & (t <= 1 + _EPS)
+        & (u >= -_EPS) & (u <= 1 + _EPS)
+    )
+    pts = a0 + t[..., None] * r  # (..., 4, 4, 2)
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(shape[:-1])
+
+
+def _masked_hull_area(points, valid):
+    """Area of the convex hull of valid points via angular sort + shoelace.
+
+    points: (..., N, 2), valid: (..., N) -> area (...,). The valid points are
+    assumed to form a convex set boundary (true for convex intersection).
+    """
+    nvalid = valid.sum(axis=-1)  # (...,)
+    vf = valid[..., None].astype(points.dtype)
+    centroid = (points * vf).sum(axis=-2) / jnp.maximum(
+        nvalid[..., None].astype(points.dtype), 1.0
+    )
+    rel = points - centroid[..., None, :]
+    angle = jnp.arctan2(rel[..., 1], rel[..., 0])
+    angle = jnp.where(valid, angle, jnp.inf)  # invalid sort to the end
+    order = jnp.argsort(angle, axis=-1)
+    sorted_pts = jnp.take_along_axis(points, order[..., None], axis=-2)
+    sorted_valid = jnp.take_along_axis(valid, order, axis=-1)
+
+    n = points.shape[-2]
+    idx = jnp.arange(n)
+    # next index cyclic over the first `nvalid` entries (invalid sorted last)
+    next_idx = (idx + 1) % jnp.maximum(nvalid[..., None], 1)
+    next_pts = jnp.take_along_axis(sorted_pts, next_idx[..., None], axis=-2)
+    cross = (
+        sorted_pts[..., 0] * next_pts[..., 1]
+        - sorted_pts[..., 1] * next_pts[..., 0]
+    )
+    cross = jnp.where(sorted_valid, cross, 0.0)
+    area = 0.5 * jnp.abs(cross.sum(axis=-1))
+    return jnp.where(nvalid >= 3, area, 0.0)
+
+
+def quad_intersection_area(qa, qb):
+    """Intersection area of convex quads. qa, qb: (..., 4, 2) -> (...,)."""
+    batch = jnp.broadcast_shapes(qa.shape[:-2], qb.shape[:-2])
+    qa = jnp.broadcast_to(qa, batch + (4, 2))
+    qb = jnp.broadcast_to(qb, batch + (4, 2))
+    in_b = _points_in_quad(qa, qb)  # (..., 4)
+    in_a = _points_in_quad(qb, qa)  # (..., 4)
+    inter_pts, inter_valid = _edge_intersections(qa, qb)  # (..., 16, 2)
+    pts = jnp.concatenate([qa, qb, inter_pts], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([in_b, in_a, inter_valid], axis=-1)
+    return _masked_hull_area(pts, valid)
+
+
+def quad_area(q):
+    """Shoelace area of quads (..., 4, 2) -> (...,)."""
+    nxt = jnp.roll(q, -1, axis=-2)
+    cross = q[..., 0] * nxt[..., 1] - q[..., 1] * nxt[..., 0]
+    return 0.5 * jnp.abs(cross.sum(axis=-1))
+
+
+def quad_iou_pairwise(qa, qb, row_chunk: int = 64):
+    """Pairwise IoU matrix between two sets of quads.
+
+    qa: (N, 4, 2), qb: (M, 4, 2) -> (N, M). Row-chunked with ``lax.map`` to
+    bound the (chunk, M, 24, 2) intermediate candidate buffers.
+    """
+    n, m = qa.shape[0], qb.shape[0]
+    area_a = quad_area(qa)
+    area_b = quad_area(qb)
+    pad = (-n) % row_chunk
+    qa_p = jnp.pad(qa, ((0, pad), (0, 0), (0, 0)))
+    chunks = qa_p.reshape(-1, row_chunk, 4, 2)
+
+    def one_chunk(chunk):
+        return quad_intersection_area(
+            chunk[:, None], qb[None, :]
+        )  # (row_chunk, M)
+
+    inter = jax.lax.map(one_chunk, chunks).reshape(-1, m)[:n]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > _EPS, inter / jnp.where(union > _EPS, union, 1.0), 0.0)
+
+
+def quad_iou_elementwise(qa, qb):
+    """Elementwise IoU: qa, qb (..., 4, 2) -> (...,)."""
+    inter = quad_intersection_area(qa, qb)
+    union = quad_area(qa) + quad_area(qb) - inter
+    return jnp.where(union > _EPS, inter / jnp.where(union > _EPS, union, 1.0), 0.0)

@@ -1,0 +1,109 @@
+"""Point-cloud -> pillar/BEV-grid ops, static shapes, TPU-first.
+
+The reference voxelizes on CPU via spconv into ragged voxel lists
+``(M, 32, 4)`` (opencood/data_utils/pre_processor/sp_voxel_preprocessor.py)
+then max-pools per pillar and scatters to a dense grid
+(opencood/models/sub_modules/pillar_vfe.py, point_pillar_scatter.py).
+
+TPU redesign: skip the voxel-list representation entirely. Points carry a
+flat pillar id; per-pillar statistics come from ``segment_sum`` and the
+encoded point features are ``segment_max``-reduced straight onto the dense
+(ny*nx) BEV canvas. Everything is a fixed-capacity padded array — no host
+voxelizer, no dynamic shapes, and the PFN matmul runs over all points at
+once on the MXU.
+
+Grid layout parity: flat id = iy * nx + ix; canvas reshapes to (ny, nx)
+so H=ny (lidar y axis), W=nx (lidar x) — matches point_pillar_scatter.py:19-76.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def pillar_ids(points, point_mask, pc_range, voxel_size, nx: int, ny: int):
+    """Compute flat pillar ids for each point.
+
+    points: (..., P, D>=3) xyz(+feat); point_mask: (..., P) bool.
+    Returns (ids, valid): ids in [0, nx*ny] where nx*ny is the dump slot for
+    invalid/out-of-range points.
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    ix = jnp.floor((x - pc_range[0]) / voxel_size[0]).astype(jnp.int32)
+    iy = jnp.floor((y - pc_range[1]) / voxel_size[1]).astype(jnp.int32)
+    inb = (
+        (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+        & (z >= pc_range[2]) & (z <= pc_range[5])
+    )
+    valid = inb & point_mask
+    ids = jnp.where(valid, iy * nx + ix, nx * ny)
+    return ids, valid
+
+
+def pillar_decorate(points, ids, valid, pc_range, voxel_size, nx: int, ny: int):
+    """Decorate points with cluster & center offsets (the 10-dim pillar
+    features of PillarVFE, reference pillar_vfe.py:105-149).
+
+    points: (P, 4) [x, y, z, intensity]; ids: (P,); valid: (P,).
+    Returns (P, 10): [xyzi, xyz - pillar_mean, xyz - pillar_center].
+    """
+    ncell = nx * ny
+    xyz = points[:, :3]
+    vf = valid[:, None].astype(points.dtype)
+    sums = jax.ops.segment_sum(xyz * vf, ids, num_segments=ncell + 1)
+    cnts = jax.ops.segment_sum(vf, ids, num_segments=ncell + 1)
+    mean = sums / jnp.maximum(cnts, 1.0)
+    f_cluster = xyz - mean[ids]
+
+    ix = (ids % nx).astype(points.dtype)
+    iy = jnp.minimum(ids // nx, ny - 1).astype(points.dtype)
+    cx = ix * voxel_size[0] + voxel_size[0] / 2 + pc_range[0]
+    cy = iy * voxel_size[1] + voxel_size[1] / 2 + pc_range[1]
+    cz = jnp.full_like(cx, voxel_size[2] / 2 + pc_range[2])
+    f_center = xyz - jnp.stack([cx, cy, cz], axis=-1)
+
+    feat = jnp.concatenate([points, f_cluster, f_center], axis=-1)
+    return feat * vf
+
+
+def scatter_pillar_max(point_feats, ids, valid, nx: int, ny: int):
+    """Max-reduce encoded point features onto the dense BEV canvas.
+
+    point_feats: (P, C); ids: (P,) flat pillar ids (nx*ny = dump slot);
+    Returns (ny, nx, C) with empty pillars = 0.
+    """
+    ncell = nx * ny
+    neg = jnp.finfo(point_feats.dtype).min
+    masked = jnp.where(valid[:, None], point_feats, neg)
+    out = jax.ops.segment_max(masked, ids, num_segments=ncell + 1)
+    occupancy = jax.ops.segment_sum(
+        valid.astype(point_feats.dtype), ids, num_segments=ncell + 1
+    )
+    out = jnp.where(occupancy[:, None] > 0, out, 0.0)
+    return out[:ncell].reshape(ny, nx, point_feats.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "max_points"))
+def cap_points_per_pillar(points, ids, valid, nx: int, ny: int, max_points: int = 32):
+    """Optionally reproduce the reference's max_points_per_voxel cap by
+    invalidating points beyond rank ``max_points`` within their pillar.
+
+    Rank = position among same-id points in array order (the reference keeps
+    the first 32 points per voxel in scan order,
+    sp_voxel_preprocessor.py:22-60).
+    """
+    order = jnp.argsort(ids, stable=True)
+    sorted_ids = ids[order]
+    same_as_prev = jnp.concatenate(
+        [jnp.array([False]), sorted_ids[1:] == sorted_ids[:-1]]
+    )
+    # rank within run: positions since last boundary
+    idx = jnp.arange(ids.shape[0])
+    boundary_idx = jnp.where(~same_as_prev, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, boundary_idx)
+    rank_sorted = idx - run_start
+    rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
+    return valid & (rank < max_points)

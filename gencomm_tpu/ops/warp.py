@@ -1,0 +1,83 @@
+"""Affine BEV feature warping — the inter-agent spatial alignment primitive.
+
+TPU-native replacement for ``F.affine_grid`` + ``F.grid_sample``
+(reference: opencood/models/sub_modules/torch_transformation_utils.py:323-332
+``warp_affine_simple``). Bilinear sampling with zero padding,
+align_corners=False semantics, implemented as a vectorized gather — fully
+jittable and fusable by XLA.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def affine_grid(theta, h: int, w: int):
+    """Normalized sampling grid for a 2x3 affine matrix.
+
+    theta: (..., 2, 3). Returns (..., h, w, 2) source coords in [-1, 1]
+    (torch ``F.affine_grid(..., align_corners=False)`` semantics: pixel
+    centers at (2i + 1)/size - 1).
+    """
+    ys = (2.0 * jnp.arange(h) + 1.0) / h - 1.0
+    xs = (2.0 * jnp.arange(w) + 1.0) / w - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ones = jnp.ones_like(gx)
+    base = jnp.stack([gx, gy, ones], axis=-1)  # (h, w, 3)
+    # (..., 2, 3) @ (h*w, 3)^T -> broadcast matmul
+    out = jnp.einsum("...ij,hwj->...hwi", theta, base)  # (..., h, w, 2)
+    return out
+
+
+def grid_sample_bilinear(img, grid):
+    """Bilinear sample with zero padding.
+
+    img: (..., C, H, W); grid: (..., h, w, 2) normalized coords (x, y) in
+    [-1, 1] referring to img, align_corners=False. Returns (..., C, h, w).
+    Batch dims of img and grid must match.
+    """
+    h_in, w_in = img.shape[-2], img.shape[-1]
+    x = (grid[..., 0] + 1.0) * w_in / 2.0 - 0.5
+    y = (grid[..., 1] + 1.0) * h_in / 2.0 - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1, y1 = x0 + 1, y0 + 1
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def gather(ix, iy):
+        inb = (ix >= 0) & (ix <= w_in - 1) & (iy >= 0) & (iy <= h_in - 1)
+        ixc = jnp.clip(ix, 0, w_in - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h_in - 1).astype(jnp.int32)
+        flat = img.reshape(img.shape[:-2] + (h_in * w_in,))  # (..., C, HW)
+        idx = iyc * w_in + ixc  # (..., h, w)
+        idx_flat = idx.reshape(idx.shape[:-2] + (-1,))  # (..., hw)
+        # gather per batch: (..., C, HW) take (..., hw) -> (..., C, hw)
+        taken = jnp.take_along_axis(
+            flat, idx_flat[..., None, :], axis=-1
+        )
+        taken = taken.reshape(img.shape[:-2] + idx.shape[-2:])
+        mask = inb.reshape(idx.shape)[..., None, :, :]
+        return taken * mask.astype(img.dtype)
+
+    out = (
+        gather(x0, y0) * (wx0 * wy0)[..., None, :, :]
+        + gather(x1, y0) * (wx1 * wy0)[..., None, :, :]
+        + gather(x0, y1) * (wx0 * wy1)[..., None, :, :]
+        + gather(x1, y1) * (wx1 * wy1)[..., None, :, :]
+    )
+    return out
+
+
+def warp_affine(src, theta, out_hw=None):
+    """Warp (..., C, H, W) features by (..., 2, 3) normalized affines.
+
+    Equivalent to the reference's ``warp_affine_simple`` (bilinear, zeros,
+    align_corners=False).
+    """
+    h, w = out_hw if out_hw is not None else (src.shape[-2], src.shape[-1])
+    grid = affine_grid(theta, h, w)
+    return grid_sample_bilinear(src, grid)
