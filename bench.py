@@ -1,0 +1,119 @@
+"""End-to-end inference benchmark on the flagship GenComm stage-1 config.
+
+Runs the FULL OPV2V-scale pipeline on synthetic frames — PointPillars encode
+(512x256 grid), BEV backbone, 2-ch message extraction, 3-step diffusion
+generation, Enhancer, attentive fusion, heads, box decode + rotated NMS —
+entirely on-device, batch size 1 (the reference's enforced eval batch,
+intermediate_heter_fusion_dataset.py:757), 2 agents.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against 10 frames/sec — the typical PyTorch-GPU
+end-to-end rate for OpenCOOD-lineage intermediate-fusion inference at this
+BEV size (the reference publishes FLOPs, not fps; see BASELINE.md). The
+BASELINE.json target is vs_baseline >= 3.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gencomm_tpu
+
+gencomm_tpu.enable_persistent_cache()
+
+from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+from gencomm_tpu.models.heter_baseline import HeterModel
+from gencomm_tpu.pipeline import InferencePipeline
+
+PYTORCH_GPU_BASELINE_FPS = 10.0
+
+
+def build_flagship():
+    cfg = SyntheticConfig(
+        lidar_range=(-102.4, -51.2, -3.0, 102.4, 51.2, 1.0),
+        max_cav=5,
+        num_agents=2,
+        points_per_agent=30000,
+        num_vehicles=12,
+        points_per_vehicle=300,
+    )
+    scenes = SyntheticScenes(cfg)
+    model = HeterModel(
+        modality_args={
+            "m1": {
+                "encoder_args": {
+                    "voxel_size": [0.4, 0.4, 4.0],
+                    "lidar_range": list(cfg.lidar_range),
+                    "pillar_vfe": {"use_norm": True, "num_filters": [64]},
+                },
+                "backbone_args": {
+                    "layer_nums": [3, 5, 8],
+                    "layer_strides": [2, 2, 2],
+                    "num_filters": [64, 128, 256],
+                    "upsample_strides": [1, 2, 4],
+                    "num_upsample_filter": [128, 128, 128],
+                },
+                "shrink_header": {
+                    "kernal_size": [3], "stride": [2], "padding": [1],
+                    "dim": [128], "input_dim": 384,
+                },
+            }
+        },
+        fusion_method="att",
+        fusion_args={"att": {"feat_dim": 128}},
+        lidar_range=cfg.lidar_range,
+        anchor_number=2,
+        in_head=128,
+        use_gencomm=True,
+        use_enhancer=True,
+    )
+    return scenes, model, cfg
+
+
+def main():
+    scenes, model, cfg = build_flagship()
+    host = scenes.sample(seed=0, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    rng = jax.random.PRNGKey(0)
+    from gencomm_tpu.train.trainer import cpu_init
+
+    variables = jax.device_put(
+        cpu_init(model, host, rng, train=False), jax.devices()[0]
+    )
+
+    postprocess_cfg = {
+        "gt_range": list(cfg.lidar_range),
+        "target_args": {"score_threshold": 0.2},
+        "nms_thresh": 0.15,
+        "dir_args": {"dir_offset": 0.7853, "num_bins": 2},
+        "nms_topk": 512,
+    }
+    pipe = InferencePipeline(model, variables, scenes.anchors, postprocess_cfg)
+
+    # warmup / compile
+    dets = pipe.run(batch, seed=0)
+    jax.block_until_ready(dets.scores)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        dets = pipe.run(batch, seed=i)
+    jax.block_until_ready(dets.scores)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "e2e_inference_fps_gencomm_stage1_opv2v",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / PYTORCH_GPU_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

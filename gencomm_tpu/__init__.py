@@ -6,3 +6,19 @@ intermediate fusion families, and diffusion-based generative message passing.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_persistent_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The axon TPU backend's remote compiles are slow (minutes for the
+    scatter-heavy flagship graphs); caching makes them one-time per machine.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -1,0 +1,241 @@
+"""OPV2V / OPV2V-H / V2XSet directory-format dataset.
+
+Parity: opencood/data_utils/datasets/basedataset/opv2v_basedataset.py +
+intermediate_heter_fusion_dataset.py. On-disk layout:
+
+    root/scenario_xx/cav_id/timestamp.yaml   (poses + vehicles GT)
+    root/scenario_xx/cav_id/timestamp.pcd    (lidar)
+
+The loader emits the model's padded batch format directly (ARCHITECTURE.md):
+points (B, L, P, 4) + masks + pairwise transforms + anchor labels + GT.
+Host-side numpy only; voxelization happens on-device.
+
+Supported robustness settings (SURVEY.md §5):
+  pose noise    noise_setting -> utils/pose_utils (reference pose_utils.py:9)
+  comm delay    time_delay frames: non-ego agents replay an earlier
+                timestamp's points/pose while GT stays current
+                (opv2v_basedataset.py:630-744, 'sim' mode, 100 ms frames)
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import yaml
+
+from gencomm_tpu.utils import box_utils, pcd_utils
+from gencomm_tpu.utils.pose_utils import add_noise_to_poses
+from gencomm_tpu.utils.transformation_utils import (
+    get_pairwise_transformation,
+    x_to_world,
+    x1_to_x2,
+)
+from gencomm_tpu.data.postprocessor import generate_anchor_box, generate_label
+from gencomm_tpu.registry import DATASETS
+
+
+def load_cav_yaml(path: str) -> dict:
+    with open(path, "r") as f:
+        return yaml.safe_load(f)
+
+
+def project_world_objects(vehicles: dict, lidar_pose, lidar_range,
+                          max_num: int, order: str = "hwl"):
+    """Vehicle dicts (world frame) -> padded (max_num, 7) boxes in the
+    lidar frame + mask + kept object ids.
+
+    Parity: box_utils.project_world_objects:491-553 (location+center offset,
+    CARLA angles, extent = half dims, corner->center re-fit, range mask).
+    """
+    boxes = np.zeros((max_num, 7), np.float32)
+    mask = np.zeros(max_num, np.float32)
+    ids = []
+    n = 0
+    for oid, content in vehicles.items():
+        if n >= max_num:
+            break
+        loc = content["location"]
+        ang = content["angle"]  # roll, yaw, pitch
+        center = content.get("center", [0, 0, 0])
+        extent = content["extent"]  # half l, w, h
+        obj_pose = [loc[0] + center[0], loc[1] + center[1], loc[2] + center[2],
+                    ang[0], ang[1], ang[2]]
+        obj2lidar = x1_to_x2(obj_pose, list(lidar_pose))
+        corners = box_utils.create_bbx(extent)  # (8, 3)
+        hom = np.concatenate([corners, np.ones((8, 1))], axis=1)
+        corners_lidar = (hom @ obj2lidar.T)[:, :3][None]
+        box7 = box_utils.corner_to_center(corners_lidar, order=order)[0]
+        xy = corners_lidar[0, :4, :2]
+        inside = (
+            (xy[:, 0] >= lidar_range[0]) & (xy[:, 0] <= lidar_range[3])
+            & (xy[:, 1] >= lidar_range[1]) & (xy[:, 1] <= lidar_range[4])
+        )
+        if not inside.any():
+            continue
+        boxes[n] = box7
+        mask[n] = 1.0
+        ids.append(oid)
+        n += 1
+    return boxes, mask, ids
+
+
+@DATASETS.register("opv2v")
+class OPV2VDataset:
+    """Directory-scan dataset producing padded model batches."""
+
+    def __init__(self, params: dict, train: bool = True,
+                 max_points: int = 40000):
+        self.params = params
+        self.train = train
+        self.max_points = max_points
+        split_dir = params["root_dir"] if train else params["validate_dir"]
+        self.root = split_dir
+        self.max_cav = params.get("train_params", {}).get("max_cav", 5)
+        self.comm_range = params.get("comm_range", 70.0)
+        self.max_num = params["postprocess"]["max_num"]
+        self.lidar_range = params["preprocess"]["cav_lidar_range"]
+        self.anchors = generate_anchor_box(
+            params["postprocess"]["anchor_args"],
+            params["postprocess"].get("order", "hwl"),
+        )
+        self.pos_threshold = params["postprocess"]["target_args"]["pos_threshold"]
+        self.neg_threshold = params["postprocess"]["target_args"]["neg_threshold"]
+        self.noise_setting = params.get("noise_setting")
+        # comm delay in 100 ms frames (opv2v_basedataset.py:706-744 sim mode)
+        delay_ms = 0
+        wild = params.get("wild_setting", {})
+        if wild.get("async", False):
+            delay_ms = wild.get("async_overhead", 0)
+        self.delay_frames = int(delay_ms) // 100
+
+        self.rng = np.random.RandomState(params.get("seed", 303))
+        self.reinitialize()
+
+    # ------------------------------------------------------------------
+    def reinitialize(self):
+        """Rebuild the scenario DB, shuffling CAV order at train time
+        (opv2v_basedataset.py:160-278)."""
+        self.scenario_database = OrderedDict()
+        self.index_map = []  # flat idx -> (scenario, timestamp)
+        scenarios = sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+        for sc in scenarios:
+            sc_path = os.path.join(self.root, sc)
+            cavs = sorted(
+                d for d in os.listdir(sc_path)
+                if os.path.isdir(os.path.join(sc_path, d))
+            )
+            if self.train:
+                cavs = list(self.rng.permutation(cavs))
+            cavs = cavs[: self.max_cav]
+            db = OrderedDict()
+            timestamps = None
+            for cav in cavs:
+                cav_path = os.path.join(sc_path, cav)
+                ts = sorted(
+                    f[:-5] for f in os.listdir(cav_path) if f.endswith(".yaml")
+                )
+                db[cav] = {"path": cav_path, "timestamps": ts}
+                if timestamps is None or len(ts) < len(timestamps):
+                    timestamps = ts
+            self.scenario_database[sc] = db
+            for t in timestamps or []:
+                self.index_map.append((sc, t))
+
+    def __len__(self):
+        return len(self.index_map)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int) -> dict:
+        sc, timestamp = self.index_map[idx]
+        db = self.scenario_database[sc]
+        L, P = self.max_cav, self.max_points
+
+        # gather per-cav data; ego = first cav
+        cav_list = list(db.keys())
+        ego_path = db[cav_list[0]]["path"]
+        ego_yaml = load_cav_yaml(os.path.join(ego_path, f"{timestamp}.yaml"))
+        ego_pose = np.array(ego_yaml["lidar_pose"], np.float64)
+
+        agents, poses, vehicles_union = [], [], OrderedDict()
+        for ci, cav in enumerate(cav_list):
+            entry = db[cav]
+            ts = timestamp
+            if ci > 0 and self.delay_frames > 0:
+                tlist = entry["timestamps"]
+                ti = max(tlist.index(timestamp) - self.delay_frames, 0) \
+                    if timestamp in tlist else 0
+                ts = tlist[ti]
+            ypath = os.path.join(entry["path"], f"{ts}.yaml")
+            if not os.path.exists(ypath):
+                continue
+            cyaml = load_cav_yaml(ypath)
+            pose = np.array(cyaml["lidar_pose"], np.float64)
+            dist = np.hypot(pose[0] - ego_pose[0], pose[1] - ego_pose[1])
+            if ci > 0 and dist > self.comm_range:
+                continue
+            pcd_path = os.path.join(entry["path"], f"{ts}.pcd")
+            pts = pcd_utils.read_pcd(pcd_path)
+            pts = pcd_utils.mask_ego_points(pts)
+            if self.train:
+                pts = pcd_utils.shuffle_points(pts, self.rng)
+            agents.append(pts)
+            poses.append(pose)
+            # GT union by object id across agents — current-frame yaml for
+            # delayed agents pairs stale features with live GT
+            # (reform_param parity, opv2v_basedataset.py:630-704)
+            cur_yaml = cyaml
+            if ts != timestamp:
+                cur = os.path.join(entry["path"], f"{timestamp}.yaml")
+                if os.path.exists(cur):
+                    cur_yaml = load_cav_yaml(cur)
+            for oid, o in cur_yaml.get("vehicles", {}).items():
+                vehicles_union.setdefault(oid, o)
+            if len(agents) == L:
+                break
+
+        na = len(agents)
+        poses_arr = np.stack(poses) if na else np.zeros((0, 6))
+        noisy_poses = add_noise_to_poses(poses_arr, self.noise_setting, self.rng)
+
+        points = np.zeros((L, P, 4), np.float32)
+        point_mask = np.zeros((L, P), bool)
+        for i, pts in enumerate(agents):
+            k = min(len(pts), P)
+            points[i, :k] = pts[:k]
+            point_mask[i, :k] = True
+
+        pairwise = get_pairwise_transformation(noisy_poses, L, na).astype(
+            np.float32
+        )
+        agent_mask = np.zeros(L, bool)
+        agent_mask[:na] = True
+
+        gt_boxes, gt_mask, _ = project_world_objects(
+            vehicles_union, ego_pose, self.lidar_range, self.max_num
+        )
+        label = generate_label(
+            gt_boxes, gt_mask, self.anchors, self.pos_threshold,
+            self.neg_threshold,
+        )
+        return {
+            "agent_mask": agent_mask,
+            "pairwise_t_matrix": pairwise,
+            "points_m1": points,
+            "point_mask_m1": point_mask,
+            "modality_mask_m1": agent_mask.copy(),
+            "pos_equal_one": label["pos_equal_one"],
+            "neg_equal_one": label["neg_equal_one"],
+            "targets": label["targets"],
+            "gt_boxes": gt_boxes,
+            "gt_mask": gt_mask,
+        }
+
+    def collate(self, samples) -> dict:
+        return {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }

@@ -1,0 +1,159 @@
+"""PointPillars detection loss (+ GenComm generation MSE variant).
+
+Parity: opencood/loss/point_pillar_loss.py:15-252 — sigmoid focal cls,
+weighted smooth-L1 reg with sin-difference yaw, softmax dir-bin CE;
+opencood/loss/point_pillar_gencomm_loss.py:44-52 adds
+``generate_weight * MSE(gt_feature, pred_feature)``.
+
+All functions are pure jnp; channel-last prediction maps (B, H', W', C).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gencomm_tpu.utils.box_utils import limit_period
+from gencomm_tpu.registry import LOSSES
+
+
+def sigmoid_focal_loss(logits, targets, weights, alpha: float, gamma: float):
+    """Elementwise focal loss on logits (point_pillar_loss.py:237-252)."""
+    per_entry = jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    prob = jax.nn.sigmoid(logits)
+    p_t = targets * prob + (1 - targets) * (1 - prob)
+    modulating = (1.0 - p_t) ** gamma
+    alpha_w = targets * alpha + (1 - targets) * (1 - alpha)
+    return modulating * alpha_w * per_entry * weights
+
+
+def weighted_smooth_l1(preds, targets, weights, sigma: float = 3.0):
+    diff = preds - targets
+    abs_diff = jnp.abs(diff)
+    lt = (abs_diff <= 1.0 / sigma**2).astype(preds.dtype)
+    loss = lt * 0.5 * (abs_diff * sigma) ** 2 + (abs_diff - 0.5 / sigma**2) * (1 - lt)
+    return loss * weights
+
+
+def add_sin_difference(preds, targets):
+    """Encode yaw channel as sin(a-b) split (point_pillar_loss.py:126-138)."""
+    rad_pred = jnp.sin(preds[..., 6:7]) * jnp.cos(targets[..., 6:7])
+    rad_tg = jnp.cos(preds[..., 6:7]) * jnp.sin(targets[..., 6:7])
+    preds = jnp.concatenate([preds[..., :6], rad_pred], axis=-1)
+    targets = jnp.concatenate([targets[..., :6], rad_tg], axis=-1)
+    return preds, targets
+
+
+def direction_targets(reg_targets, anchor_yaw_deg, dir_offset: float,
+                      num_bins: int):
+    """One-hot dir-bin targets (point_pillar_loss.py:140-166).
+
+    reg_targets: (B, N, 7) with N = H'*W'*A; anchor_yaw_deg: (A,) degrees.
+    """
+    anchor_yaw = jnp.asarray(np.radians(np.asarray(anchor_yaw_deg)))
+    a = anchor_yaw.shape[0]
+    n = reg_targets.shape[1]
+    anchor_map = jnp.tile(anchor_yaw, (n // a,))
+    rot_gt = reg_targets[..., 6] + anchor_map[None, :]
+    offset_rot = limit_period(rot_gt - dir_offset, 0.0, 2 * jnp.pi)
+    bins = jnp.floor(offset_rot / (2 * jnp.pi / num_bins)).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, num_bins - 1)
+    return jax.nn.one_hot(bins, num_bins)
+
+
+@LOSSES.register("point_pillar_loss")
+class PointPillarLoss:
+    """Configured with the hypes ``loss.args`` dict."""
+
+    def __init__(self, args: dict):
+        self.pos_cls_weight = args["pos_cls_weight"]
+        self.cls = args["cls"]
+        self.reg = args["reg"]
+        self.dir = args.get("dir")
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        """output: cls_preds (B,H,W,A), reg_preds (B,H,W,A*7),
+        dir_preds (B,H,W,A*nb); target: pos/neg_equal_one (B,H,W,A),
+        targets (B,H,W,A*7). Returns dict of scalar losses.
+        """
+        cls_preds = output[f"cls_preds{suffix}"]
+        reg_preds = output[f"reg_preds{suffix}"]
+        b = cls_preds.shape[0]
+
+        cls_labels = target["pos_equal_one"].reshape(b, -1, 1)
+        positives = cls_labels > 0
+        negatives = target["neg_equal_one"].reshape(b, -1, 1) > 0
+        pos_norm = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0, None)
+
+        cls_flat = cls_preds.reshape(b, -1, 1)
+        cls_weights = (
+            positives * self.pos_cls_weight + negatives * 1.0
+        ) / pos_norm
+        cls_loss = sigmoid_focal_loss(
+            cls_flat, cls_labels.astype(cls_flat.dtype), cls_weights,
+            alpha=self.cls["alpha"], gamma=self.cls["gamma"],
+        ).sum() * self.cls["weight"] / b
+
+        reg_weights = positives / pos_norm
+        reg_flat = reg_preds.reshape(b, -1, 7)
+        reg_targets = target["targets"].reshape(b, -1, 7)
+        reg_enc, tgt_enc = add_sin_difference(reg_flat, reg_targets)
+        reg_loss = weighted_smooth_l1(
+            reg_enc, tgt_enc, reg_weights, sigma=self.reg["sigma"]
+        ).sum() * self.reg["weight"] / b
+
+        losses = {"cls_loss": cls_loss, "reg_loss": reg_loss}
+        total = cls_loss + reg_loss
+
+        if self.dir is not None:
+            num_bins = self.dir["args"]["num_bins"]
+            dir_logits = output[f"dir_preds{suffix}"].reshape(b, -1, num_bins)
+            dir_tgt = direction_targets(
+                reg_targets,
+                self.dir["args"]["anchor_yaw"],
+                self.dir["args"]["dir_offset"],
+                num_bins,
+            )
+            logp = jax.nn.log_softmax(dir_logits, axis=-1)
+            ce = -(dir_tgt * logp).sum(-1)
+            dir_loss = (
+                (ce * reg_weights.squeeze(-1)).sum() * self.dir["weight"] / b
+            )
+            losses["dir_loss"] = dir_loss
+            total = total + dir_loss
+
+        losses["total_loss"] = total
+        return losses
+
+
+@LOSSES.register("point_pillar_gencomm_loss")
+class PointPillarGenCommLoss(PointPillarLoss):
+    """Detection loss + feature-generation MSE
+    (point_pillar_gencomm_loss.py:44-52)."""
+
+    def __init__(self, args: dict):
+        super().__init__(args)
+        self.generate_weight = args.get("generate_weight", 1.0)
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "pred_feature" in output and "gt_feature" in output:
+            # NOTE: the reference does NOT detach gt_feature — gradients flow
+            # into the encoder from the generation MSE too.
+            pred, gt = output["pred_feature"], output["gt_feature"]
+            mask = output.get("feature_mask")  # (B*L,) or (B, L) valid agents
+            err = (pred - gt) ** 2
+            if mask is not None:
+                m = mask.reshape(mask.shape + (1,) * (err.ndim - mask.ndim))
+                err = err * m
+                denom = jnp.clip(m.sum() * np.prod(err.shape[mask.ndim:]), 1.0, None)
+                gen_loss = err.sum() / denom
+            else:
+                gen_loss = err.mean()
+            gen_loss = gen_loss * self.generate_weight
+            losses["gen_loss"] = gen_loss
+            losses["total_loss"] = losses["total_loss"] + gen_loss
+        return losses

@@ -96,30 +96,15 @@ class PointPillarEncoder(nn.Module):
         flat_pts = points.reshape(b * l, p, d)
         flat_mask = point_mask.reshape(b * l, p)
 
-        def per_agent_ids(pts, msk):
-            ids, valid = vox.pillar_ids(
-                pts, msk, self.lidar_range, self.voxel_size, nx, ny
-            )
-            if self.max_points_per_pillar > 0:
-                valid = vox.cap_points_per_pillar(
-                    pts, ids, valid, nx, ny, self.max_points_per_pillar
-                )
-                ids = jnp.where(valid, ids, nx * ny)
-            feat = vox.pillar_decorate(
-                pts, ids, valid, self.lidar_range, self.voxel_size, nx, ny
-            )
-            return feat, ids, valid
-
-        feats, ids, valid = jax.vmap(per_agent_ids)(flat_pts, flat_mask)
+        # One flat scatter across all agents (no vmapped segment ops — a
+        # single big HBM scatter compiles and runs far better on TPU).
+        x, gids, valid = vox.pillar_decorate_flat(
+            flat_pts, flat_mask, self.lidar_range, self.voxel_size, nx, ny
+        )
 
         # PFN over ALL points at once (one big matmul on the MXU)
-        x = feats.reshape(b * l * p, -1)
-        vflat = valid.reshape(b * l * p)
         for f in self.num_filters:
-            x = PFNLayer(features=f, use_norm=self.use_norm)(x, vflat, train)
-        x = x.reshape(b * l, p, -1)
+            x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
 
-        canvas = jax.vmap(lambda f, i, v: vox.scatter_pillar_max(f, i, v, nx, ny))(
-            x, ids, valid
-        )
+        canvas = vox.scatter_pillar_max_flat(x, gids, valid, b * l, nx, ny)
         return canvas.reshape(b, l, ny, nx, x.shape[-1])

@@ -1,0 +1,230 @@
+"""Top-level heterogeneous collaboration models.
+
+Parity targets:
+  heter_model_baseline.py                 (plain multi-modality baseline)
+  heter_model_baseline_w_gencomm_stage1.py (adds DME + GenComm + Enhancer)
+  heter_model_baseline_w_gencomm_stage2.py (same graph; freezing handled by
+                                            the optimizer, missing-message
+                                            masking at eval)
+
+TPU conventions: inputs are padded (B, L, ...) arrays with masks (see
+ARCHITECTURE.md). Every modality encoder runs over all agent slots; features
+are combined with per-slot modality masks — dense, static-shape, XLA-friendly.
+The "communication boundary" is the 2-channel message tensor exactly as in
+the reference; GenComm regenerates the 128-channel features from (ego
+feature, message) at the receiver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gencomm_tpu.models.encoders.point_pillar import PointPillarEncoder
+from gencomm_tpu.models.backbones.bev_backbone import BEVBackbone
+from gencomm_tpu.models.layers import DownsampleConv
+from gencomm_tpu.models.fuse.fusion import build_fusion
+from gencomm_tpu.models.gencomm.message_extractor import MessageExtractor
+from gencomm_tpu.models.gencomm.diffusion import GenCommDiffusion
+from gencomm_tpu.models.gencomm.enhancer import Enhancer
+from gencomm_tpu.models.heads import DetectionHeads
+from gencomm_tpu.utils.transformation_utils import normalize_pairwise_tfm
+from gencomm_tpu.registry import MODELS
+
+
+class ModalityBranch(nn.Module):
+    """encoder -> backbone -> shrinker for one modality (lidar for now)."""
+
+    encoder_args: Dict[str, Any]
+    backbone_args: Dict[str, Any]
+    shrink_args: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool = False):
+        enc = PointPillarEncoder(
+            voxel_size=tuple(self.encoder_args["voxel_size"]),
+            lidar_range=tuple(self.encoder_args["lidar_range"]),
+            num_filters=tuple(
+                self.encoder_args["pillar_vfe"]["num_filters"]
+            ),
+            use_norm=self.encoder_args["pillar_vfe"].get("use_norm", True),
+            name="encoder",
+        )
+        canvas = enc(points, point_mask, train)  # (B, L, ny, nx, C)
+        b, l = canvas.shape[:2]
+        flat = canvas.reshape((b * l,) + canvas.shape[2:])
+        feat = BEVBackbone(
+            layer_nums=tuple(self.backbone_args["layer_nums"]),
+            layer_strides=tuple(self.backbone_args["layer_strides"]),
+            num_filters=tuple(self.backbone_args["num_filters"]),
+            upsample_strides=tuple(self.backbone_args.get("upsample_strides", ())),
+            num_upsample_filters=tuple(
+                self.backbone_args.get("num_upsample_filter", ())
+            ),
+            name="backbone",
+        )(flat, train)
+        feat = DownsampleConv(
+            dims=tuple(self.shrink_args["dim"]),
+            kernels=tuple(self.shrink_args["kernal_size"]),
+            strides=tuple(self.shrink_args["stride"]),
+            name="shrinker",
+        )(feat)
+        return feat.reshape((b, l) + feat.shape[1:])  # (B, L, H, W, C)
+
+
+@MODELS.register("heter_model_baseline")
+@MODELS.register("heter_model_baseline_w_gencomm_stage1")
+@MODELS.register("heter_model_baseline_w_gencomm_stage2")
+class HeterModel(nn.Module):
+    """Unified hetero model; GenComm message passing optional."""
+
+    modality_args: Dict[str, Dict[str, Any]]  # name -> {encoder_args, backbone_args, shrink_header}
+    fusion_method: str
+    fusion_args: Dict[str, Any]
+    lidar_range: Tuple[float, float, float, float, float, float]
+    anchor_number: int = 2
+    dir_bins: int = 2
+    in_head: int = 128
+    use_gencomm: bool = False
+    use_enhancer: bool = False
+    message_ch: int = 2
+    gencomm_timesteps: int = 3
+    unet_ch: int = 8
+    unet_ch_mult: Sequence[int] = (1, 1)
+    unet_num_res_blocks: int = 2
+    missing_message_rate: float = 0.0  # eval-time robustness injection
+    supervise_single: bool = False
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False):
+        out: Dict[str, Any] = {}
+        agent_mask = batch["agent_mask"]  # (B, L)
+        b, l = agent_mask.shape
+
+        hm = self.lidar_range[4] - self.lidar_range[1]
+        wm = self.lidar_range[3] - self.lidar_range[0]
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], hm, wm, 1.0
+        ).astype(jnp.float32)
+
+        # --- per-modality encode (all agent slots), combine by masks ---
+        feature = None
+        message = None
+        for mname, margs in self.modality_args.items():
+            feat = ModalityBranch(
+                encoder_args=margs["encoder_args"],
+                backbone_args=margs["backbone_args"],
+                shrink_args=margs["shrink_header"],
+                name=f"branch_{mname}",
+            )(batch[f"points_{mname}"], batch[f"point_mask_{mname}"], train)
+            mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
+            contrib = feat * mmask
+            feature = contrib if feature is None else feature + contrib
+            if self.use_gencomm:
+                flat = feat.reshape((b * l,) + feat.shape[2:])
+                msg = MessageExtractor(
+                    in_ch=feat.shape[-1], out_ch=self.message_ch,
+                    name=f"message_extractor_{mname}",
+                )(flat).reshape((b, l) + feat.shape[2:-1] + (self.message_ch,))
+                mcontrib = msg * mmask
+                message = mcontrib if message is None else message + mcontrib
+
+        hw = feature.shape[2:4]
+
+        if self.supervise_single:
+            flat_feat = feature.reshape((b * l,) + feature.shape[2:])
+            cls_s, reg_s, dir_s = DetectionHeads(
+                self.anchor_number, self.dir_bins, name="heads_single"
+            )(flat_feat)
+            out.update(
+                cls_preds_single=cls_s, reg_preds_single=reg_s,
+                dir_preds_single=dir_s,
+            )
+
+        if self.use_gencomm:
+            # eval-time missing-message robustness: random 40%-style spatial
+            # dropout on non-ego messages (gencomm_stage2.py:257-262)
+            if not train and self.missing_message_rate > 0:
+                rng = self.make_rng("dropout")
+                keep = (
+                    jax.random.uniform(rng, (b, l) + hw + (1,))
+                    > self.missing_message_rate
+                )
+                keep = keep.at[:, 0].set(True)  # ego intact
+                message = message * keep
+
+            out["message"] = message
+            # [SIMULATED COMM BOUNDARY] — only `message` crosses agents.
+            ego_bc = jnp.broadcast_to(
+                feature[:, 0:1], feature.shape
+            ).reshape((b * l,) + feature.shape[2:])
+            cond = message.reshape((b * l,) + hw + (self.message_ch,))
+            pred = GenCommDiffusion(
+                feat_ch=feature.shape[-1],
+                msg_ch=self.message_ch,
+                num_timesteps=self.gencomm_timesteps,
+                unet_ch=self.unet_ch,
+                unet_ch_mult=tuple(self.unet_ch_mult),
+                unet_num_res_blocks=self.unet_num_res_blocks,
+                name="gencomm",
+            )(ego_bc, cond, train)
+
+            out["gt_feature"] = feature.reshape(pred.shape)
+            out["pred_feature"] = pred
+            out["feature_mask"] = agent_mask.reshape(-1)
+            fused_in = pred
+            if self.use_enhancer:
+                fused_in = Enhancer(dim=pred.shape[-1], name="enhancer")(fused_in)
+            feature = fused_in.reshape((b, l) + hw + (pred.shape[-1],))
+
+        fusion = build_fusion(self.fusion_method, self.fusion_args, name="fusion_net")
+        fused = fusion(feature, affine, agent_mask, train)
+
+        cls_preds, reg_preds, dir_preds = DetectionHeads(
+            self.anchor_number, self.dir_bins, name="heads"
+        )(fused)
+        out.update(cls_preds=cls_preds, reg_preds=reg_preds, dir_preds=dir_preds)
+        return out
+
+
+def build_model(hypes: dict) -> HeterModel:
+    """Construct HeterModel from a hypes dict (model.args block).
+
+    Mirrors the reference's reflection-based assembly
+    (heter_model_baseline*.py __init__) via explicit config plumbing.
+    """
+    args = hypes["model"]["args"]
+    core = hypes["model"]["core_method"].lower()
+    modality_args = {}
+    for key, val in args.items():
+        if key.startswith("m") and key[1:].isdigit():
+            margs = dict(val)
+            enc = dict(margs["encoder_args"])
+            enc.setdefault("lidar_range", args["lidar_range"])
+            margs["encoder_args"] = enc
+            modality_args[key] = margs
+    use_gencomm = "gencomm" in core or "gencomm" in args
+    gencomm_cfg = args.get("gencomm", {})
+    unet_cfg = gencomm_cfg.get("model", {})
+    diff_cfg = gencomm_cfg.get("diffusion", {})
+    return HeterModel(
+        modality_args=modality_args,
+        fusion_method=args["fusion_method"],
+        fusion_args=args,
+        lidar_range=tuple(args["lidar_range"]),
+        anchor_number=args["anchor_number"],
+        dir_bins=args["dir_args"]["num_bins"],
+        in_head=args.get("in_head", 128),
+        use_gencomm=use_gencomm,
+        use_enhancer=use_gencomm and "enhancer" in args,
+        message_ch=args.get("message_extractor", {}).get("out_ch", 2),
+        gencomm_timesteps=diff_cfg.get("num_diffusion_timesteps", 3),
+        unet_ch=unet_cfg.get("ch", 8),
+        unet_ch_mult=tuple(unet_cfg.get("ch_mult", (1, 1))),
+        unet_num_res_blocks=unet_cfg.get("num_res_blocks", 2),
+        missing_message_rate=0.4 if args.get("missing_message", False) else 0.0,
+        supervise_single=args.get("supervise_single", False),
+    )

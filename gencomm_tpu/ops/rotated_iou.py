@@ -108,8 +108,83 @@ def _masked_hull_area(points, valid):
     return jnp.where(nvalid >= 3, area, 0.0)
 
 
+def _ccw(q):
+    """Canonicalize quads to CCW winding (flip if signed area < 0)."""
+    nxt = jnp.roll(q, -1, axis=-2)
+    signed = (q[..., 0] * nxt[..., 1] - q[..., 1] * nxt[..., 0]).sum(axis=-1)
+    return jnp.where(signed[..., None, None] >= 0, q, q[..., ::-1, :])
+
+
+def _clipped_edge_contribution(poly, clip, strict: bool = False):
+    """Green's-theorem contribution of ``poly``'s edges clipped to ``clip``.
+
+    For CCW convex polygons, Area(A ∩ B) = 1/2 ∮_{∂(A∩B)} (x dy − y dx); the
+    boundary decomposes into sub-segments of A's edges inside B and B's
+    edges inside A. Each edge p0→p1 is clipped against clip's 4 half-planes
+    by Liang–Barsky interval intersection — branch-free, sort-free,
+    gather-free (the TPU-friendly formulation; the candidate-vertex +
+    angular-sort alternative is ~50x slower on TPU due to the sorts).
+
+    poly, clip: (..., 4, 2). Returns (...,) = sum over edges of
+    cross(p(t_lo), p(t_hi)).
+    """
+    p0 = poly[..., :, None, :]  # (..., 4 edges of poly, 1, 2)
+    p1 = jnp.roll(poly, -1, axis=-2)[..., :, None, :]
+    v0 = clip[..., None, :, :]  # (..., 1, 4 edges of clip, 2)
+    d = (jnp.roll(clip, -1, axis=-2) - clip)[..., None, :, :]
+
+    # half-plane values f(p) = cross(d, p - v0) / |d|  (signed distance,
+    # meters); inside means f >= 0
+    dn = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+    dn = jnp.where(dn > _EPS, dn, 1.0)
+    f0 = (
+        d[..., 0] * (p0[..., 1] - v0[..., 1])
+        - d[..., 1] * (p0[..., 0] - v0[..., 0])
+    ) / dn  # (..., 4, 4)
+    f1 = (
+        d[..., 0] * (p1[..., 1] - v0[..., 1])
+        - d[..., 1] * (p1[..., 0] - v0[..., 0])
+    ) / dn
+    df = f1 - f0
+    eps = 1e-5  # meters
+    t_cross = -f0 / jnp.where(jnp.abs(df) > eps, df, 1.0)
+
+    lower = jnp.where(df > eps, t_cross, 0.0)
+    upper = jnp.where(df < -eps, t_cross, 1.0)
+    # constant-f edge (parallel to the clip edge): feasibility decided by f0.
+    # strict=True drops edges lying exactly ON the clip boundary — used for
+    # the second polygon so collinear shared edges are not double-counted.
+    thresh = eps if strict else -eps
+    infeasible = (jnp.abs(df) <= eps) & (f0 < thresh)
+    lower = jnp.where(infeasible, 2.0, lower)
+
+    t_lo = jnp.clip(lower.max(axis=-1), 0.0, 1.0)  # (..., 4)
+    t_hi = jnp.clip(upper.min(axis=-1), 0.0, 1.0)
+    ok = (t_hi > t_lo).astype(poly.dtype)
+
+    e0 = poly
+    e1 = jnp.roll(poly, -1, axis=-2)
+    a = e0 + t_lo[..., None] * (e1 - e0)
+    b = e0 + t_hi[..., None] * (e1 - e0)
+    cross = a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+    return (cross * ok).sum(axis=-1)
+
+
 def quad_intersection_area(qa, qb):
     """Intersection area of convex quads. qa, qb: (..., 4, 2) -> (...,)."""
+    qa = _ccw(qa)
+    qb = _ccw(qb)
+    total = _clipped_edge_contribution(qa, qb, strict=False) + (
+        _clipped_edge_contribution(qb, qa, strict=True)
+    )
+    return jnp.maximum(0.5 * total, 0.0)
+
+
+def quad_intersection_area_hull(qa, qb):
+    """Reference implementation via candidate vertices + angular sort.
+
+    Kept for cross-validation in tests; prefer quad_intersection_area.
+    """
     batch = jnp.broadcast_shapes(qa.shape[:-2], qb.shape[:-2])
     qa = jnp.broadcast_to(qa, batch + (4, 2))
     qb = jnp.broadcast_to(qb, batch + (4, 2))
@@ -128,11 +203,11 @@ def quad_area(q):
     return 0.5 * jnp.abs(cross.sum(axis=-1))
 
 
-def quad_iou_pairwise(qa, qb, row_chunk: int = 64):
+def quad_iou_pairwise(qa, qb, row_chunk: int = 256):
     """Pairwise IoU matrix between two sets of quads.
 
     qa: (N, 4, 2), qb: (M, 4, 2) -> (N, M). Row-chunked with ``lax.map`` to
-    bound the (chunk, M, 24, 2) intermediate candidate buffers.
+    bound the (chunk, M, 4, 4) clip intermediates.
     """
     n, m = qa.shape[0], qb.shape[0]
     area_a = quad_area(qa)

@@ -143,3 +143,45 @@ def remove_bbx_abnormal_z(corners3d, z_min: float = -3.0, z_max: float = 1.0):
     """Parity: box_utils.remove_bbx_abnormal_z:1094."""
     zs = corners3d[..., 2]
     return (zs.min(axis=1) >= z_min) & (zs.max(axis=1) <= z_max)
+
+
+def create_bbx(extent):
+    """8 corners from half-extents [l/2, w/2, h/2] in the object frame
+    (parity: box_utils.create_bbx:464 — same corner order as the template)."""
+    e = np.asarray(extent, dtype=np.float64)
+    return _CORNER_TEMPLATE.astype(np.float64) * 2.0 * e[None, :]
+
+
+def corner_to_center(corner3d: np.ndarray, order: str = "lwh") -> np.ndarray:
+    """(N, 8, 3) corners -> (N, 7) boxes (parity: box_utils.corner_to_center:25,
+    averaging edge lengths and the 4 bottom/top edge yaw estimates)."""
+    xyz = np.mean(corner3d[:, [0, 3, 5, 6], :], axis=1)
+    h = np.abs(
+        np.mean(corner3d[:, 4:, 2] - corner3d[:, :4, 2], axis=1, keepdims=True)
+    )
+
+    def _elen(i, j):
+        return np.sqrt(
+            ((corner3d[:, i, :2] - corner3d[:, j, :2]) ** 2).sum(
+                axis=1, keepdims=True
+            )
+        )
+
+    l = (_elen(0, 3) + _elen(2, 1) + _elen(4, 7) + _elen(5, 6)) / 4
+    w = (_elen(0, 1) + _elen(2, 3) + _elen(4, 5) + _elen(6, 7)) / 4
+
+    def _eyaw(i, j):
+        return np.arctan2(
+            corner3d[:, i, 1] - corner3d[:, j, 1],
+            corner3d[:, i, 0] - corner3d[:, j, 0],
+        )
+
+    theta = (
+        (_eyaw(1, 2) + _eyaw(0, 3) + _eyaw(5, 6) + _eyaw(4, 7)) / 4
+    )[:, None]
+
+    if order == "lwh":
+        return np.concatenate([xyz, l, w, h, theta], axis=1).astype(np.float32)
+    if order == "hwl":
+        return np.concatenate([xyz, h, w, l, theta], axis=1).astype(np.float32)
+    raise ValueError(f"unknown box order {order}")

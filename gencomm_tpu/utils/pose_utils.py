@@ -1,0 +1,49 @@
+"""Pose-error injection for robustness evaluation.
+
+Parity: opencood/utils/pose_utils.py:9-106 — Gaussian (or Laplace) noise on
+x, y and yaw of every non-ego agent's lidar pose; the clean pose is kept
+alongside for GT generation (``lidar_pose_clean`` convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def generate_noise(pos_std: float, rot_std: float, pos_mean: float = 0.0,
+                   rot_mean: float = 0.0, rng: np.random.RandomState | None = None):
+    """(6,) additive pose noise on x, y, yaw (deg) — pose_utils.py:42-73."""
+    rng = rng or np.random
+    xy = rng.normal(pos_mean, pos_std, 2)
+    yaw = rng.normal(rot_mean, rot_std)
+    return np.array([xy[0], xy[1], 0.0, 0.0, yaw, 0.0])
+
+
+def generate_noise_laplace(pos_b: float, rot_b: float,
+                           rng: np.random.RandomState | None = None):
+    """Laplace-distributed variant — pose_utils.py:76-104."""
+    rng = rng or np.random
+    xy = rng.laplace(0.0, pos_b, 2)
+    yaw = rng.laplace(0.0, rot_b)
+    return np.array([xy[0], xy[1], 0.0, 0.0, yaw, 0.0])
+
+
+def add_noise_to_poses(poses: np.ndarray, noise_setting: dict | None,
+                       rng: np.random.RandomState | None = None) -> np.ndarray:
+    """poses: (N, 6) with slot 0 = ego (kept clean, as the reference keeps
+    the ego pose noiseless only when noise_target_ratio logic is absent —
+    reference noises ALL agents incl. ego in add_noise_data_dict; we follow
+    that: every agent's pose is perturbed)."""
+    if not noise_setting or not noise_setting.get("add_noise", False):
+        return poses.copy()
+    args = noise_setting.get("args", {})
+    pos_std = args.get("pos_std", 0.0)
+    rot_std = args.get("rot_std", 0.0)
+    laplace = args.get("laplace", False)
+    out = poses.copy()
+    for i in range(out.shape[0]):
+        if laplace:
+            out[i] += generate_noise_laplace(pos_std, rot_std, rng)
+        else:
+            out[i] += generate_noise(pos_std, rot_std, rng=rng)
+    return out

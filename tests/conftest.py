@@ -3,7 +3,9 @@ sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment points JAX_PLATFORMS at the single real
+# TPU (axon); tests must not contend for it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -101,6 +101,33 @@ def test_pairwise_matches_elementwise():
     assert abs(mat[0, 0] - mc) < 0.02
 
 
+def test_fast_area_matches_hull_reference():
+    from gencomm_tpu.ops.rotated_iou import (
+        quad_intersection_area,
+        quad_intersection_area_hull,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 300
+    boxes = np.concatenate(
+        [
+            rng.uniform(-4, 4, (n, 2)),
+            np.zeros((n, 1)),
+            rng.uniform(0.5, 3, (n, 3)),
+            rng.uniform(-np.pi, np.pi, (n, 1)),
+        ],
+        axis=1,
+    )
+    qa = jnp.asarray(boxes_to_corners2d(boxes, "hwl"), jnp.float32)
+    qb = jnp.roll(qa, 1, axis=0)
+    fast = np.asarray(quad_intersection_area(qa, qb))
+    ref = np.asarray(quad_intersection_area_hull(qa, qb))
+    np.testing.assert_allclose(fast, ref, atol=1e-3)
+    # winding insensitivity: flip qb's vertex order
+    fast_flipped = np.asarray(quad_intersection_area(qa, qb[:, ::-1, :]))
+    np.testing.assert_allclose(fast_flipped, ref, atol=1e-3)
+
+
 def test_rotated_nms_basic():
     boxes = np.array(
         [
