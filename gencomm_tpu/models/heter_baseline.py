@@ -36,23 +36,45 @@ from gencomm_tpu.registry import MODELS
 
 
 class ModalityBranch(nn.Module):
-    """encoder -> backbone -> shrinker for one modality (lidar for now)."""
+    """encoder -> backbone -> shrinker for one modality.
+
+    ``core_method`` selects the encoder (reference: reflection scan of
+    heter_encoders.py, here an explicit dispatch): point_pillar | second.
+    """
 
     encoder_args: Dict[str, Any]
     backbone_args: Dict[str, Any]
     shrink_args: Dict[str, Any]
+    core_method: str = "point_pillar"
 
     @nn.compact
     def __call__(self, points, point_mask, train: bool = False):
-        enc = PointPillarEncoder(
-            voxel_size=tuple(self.encoder_args["voxel_size"]),
-            lidar_range=tuple(self.encoder_args["lidar_range"]),
-            num_filters=tuple(
-                self.encoder_args["pillar_vfe"]["num_filters"]
-            ),
-            use_norm=self.encoder_args["pillar_vfe"].get("use_norm", True),
-            name="encoder",
-        )
+        if self.core_method == "point_pillar":
+            enc = PointPillarEncoder(
+                voxel_size=tuple(self.encoder_args["voxel_size"]),
+                lidar_range=tuple(self.encoder_args["lidar_range"]),
+                num_filters=tuple(
+                    self.encoder_args["pillar_vfe"]["num_filters"]
+                ),
+                use_norm=self.encoder_args["pillar_vfe"].get("use_norm", True),
+                name="encoder",
+            )
+        elif self.core_method == "second":
+            from gencomm_tpu.models.encoders.second import SECONDEncoder
+
+            enc = SECONDEncoder(
+                voxel_size=tuple(self.encoder_args["voxel_size"]),
+                lidar_range=tuple(self.encoder_args["lidar_range"]),
+                voxel_capacity_per_agent=self.encoder_args.get(
+                    "max_voxels", 32000
+                ),
+                out_ch=self.encoder_args.get("spconv", {}).get(
+                    "num_features_out", 128
+                ),
+                name="encoder",
+            )
+        else:
+            raise ValueError(f"unknown encoder core_method {self.core_method}")
         canvas = enc(points, point_mask, train)  # (B, L, ny, nx, C)
         b, l = canvas.shape[:2]
         flat = canvas.reshape((b * l,) + canvas.shape[2:])
@@ -118,6 +140,7 @@ class HeterModel(nn.Module):
                 encoder_args=margs["encoder_args"],
                 backbone_args=margs["backbone_args"],
                 shrink_args=margs["shrink_header"],
+                core_method=margs.get("core_method", "point_pillar"),
                 name=f"branch_{mname}",
             )(batch[f"points_{mname}"], batch[f"point_mask_{mname}"], train)
             mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
