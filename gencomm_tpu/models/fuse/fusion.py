@@ -124,6 +124,8 @@ def build_fusion(method: str, args: dict, name: str | None = None) -> nn.Module:
     # import for registration side effects
     from gencomm_tpu.models.fuse import v2vnet as _v2v  # noqa: F401
     from gencomm_tpu.models.fuse import where2comm as _w2c  # noqa: F401
+    from gencomm_tpu.models.fuse import cobevt as _cb  # noqa: F401
+    from gencomm_tpu.models.fuse import v2xvit as _vx  # noqa: F401
 
     cls = FUSIONS.get(method)
     cfg = args.get(method, {})
@@ -137,6 +139,27 @@ def build_fusion(method: str, args: dict, name: str | None = None) -> nn.Module:
             num_iteration=cfg.get("num_iteration", 2),
             gru_flag=cfg.get("gru_flag", True),
             agg_operator=cfg.get("agg_operator", "avg"),
+            name=name,
+        )
+    if method == "cobevt":
+        return cls(
+            input_dim=cfg["input_dim"],
+            mlp_dim=cfg.get("mlp_dim", 256),
+            dim_head=cfg.get("dim_head", 32),
+            window_size=cfg.get("window_size", 8),
+            agent_size=cfg.get("agent_size", 5),
+            depth=cfg.get("depth", 1),
+            name=name,
+        )
+    if method == "v2xvit":
+        return cls(
+            dim=cfg.get("dim", cfg.get("feat_dim", 128)),
+            depth=cfg.get("depth", 3),
+            num_blocks=cfg.get("num_blocks", 1),
+            window_sizes=tuple(cfg.get("window_sizes", (4, 8, 16))),
+            pwindow_heads=tuple(cfg.get("pwindow_heads", (16, 8, 4))),
+            pwindow_dim_heads=tuple(cfg.get("pwindow_dim_heads", (8, 16, 32))),
+            mlp_dim=cfg.get("mlp_dim", 256),
             name=name,
         )
     return cls(name=name)

@@ -39,7 +39,8 @@ class ModalityBranch(nn.Module):
     """encoder -> backbone -> shrinker for one modality.
 
     ``core_method`` selects the encoder (reference: reflection scan of
-    heter_encoders.py, here an explicit dispatch): point_pillar | second.
+    heter_encoders.py, here an explicit dispatch):
+    point_pillar | second | lift_splat_shoot.
     """
 
     encoder_args: Dict[str, Any]
@@ -48,7 +49,23 @@ class ModalityBranch(nn.Module):
     core_method: str = "point_pillar"
 
     @nn.compact
-    def __call__(self, points, point_mask, train: bool = False):
+    def __call__(self, inputs: Dict[str, Any], train: bool = False):
+        depth_logits = None
+        if self.core_method == "lift_splat_shoot":
+            from gencomm_tpu.models.encoders.lss import LSSEncoder
+
+            enc = LSSEncoder(
+                grid_conf=self.encoder_args["grid_conf"],
+                final_dim=tuple(
+                    self.encoder_args["data_aug_conf"]["final_dim"]
+                ),
+                downsample=self.encoder_args.get("img_downsample", 8),
+                feat_ch=self.encoder_args.get("img_features", 128),
+                name="encoder",
+            )
+            canvas, depth_logits = enc(inputs, train)
+            return self._neck(canvas, train), depth_logits
+        points, point_mask = inputs["points"], inputs["point_mask"]
         if self.core_method == "point_pillar":
             enc = PointPillarEncoder(
                 voxel_size=tuple(self.encoder_args["voxel_size"]),
@@ -76,6 +93,9 @@ class ModalityBranch(nn.Module):
         else:
             raise ValueError(f"unknown encoder core_method {self.core_method}")
         canvas = enc(points, point_mask, train)  # (B, L, ny, nx, C)
+        return self._neck(canvas, train), depth_logits
+
+    def _neck(self, canvas, train: bool):
         b, l = canvas.shape[:2]
         flat = canvas.reshape((b * l,) + canvas.shape[2:])
         feat = BEVBackbone(
@@ -136,13 +156,41 @@ class HeterModel(nn.Module):
         feature = None
         message = None
         for mname, margs in self.modality_args.items():
-            feat = ModalityBranch(
+            core = margs.get("core_method", "point_pillar")
+            if margs.get("sensor_type", "lidar") == "camera":
+                inputs = {
+                    "imgs": batch[f"imgs_{mname}"],
+                    "rots": batch[f"rots_{mname}"],
+                    "trans": batch[f"trans_{mname}"],
+                    "intrins": batch[f"intrins_{mname}"],
+                    "post_rots": batch[f"post_rots_{mname}"],
+                    "post_trans": batch[f"post_trans_{mname}"],
+                }
+            else:
+                inputs = {
+                    "points": batch[f"points_{mname}"],
+                    "point_mask": batch[f"point_mask_{mname}"],
+                }
+            feat, depth_logits = ModalityBranch(
                 encoder_args=margs["encoder_args"],
                 backbone_args=margs["backbone_args"],
                 shrink_args=margs["shrink_header"],
-                core_method=margs.get("core_method", "point_pillar"),
+                core_method=core,
                 name=f"branch_{mname}",
-            )(batch[f"points_{mname}"], batch[f"point_mask_{mname}"], train)
+            )(inputs, train)
+            if margs.get("sensor_type", "lidar") == "camera":
+                # align the camera BEV extent to the lidar range by center
+                # crop/pad (heter_model_baseline.py:199-209)
+                from gencomm_tpu.models.encoders.lss import center_crop_or_pad
+
+                gc = margs["encoder_args"]["grid_conf"]
+                ratio_w = self.lidar_range[3] / gc["xbound"][1]
+                ratio_h = self.lidar_range[4] / gc["ybound"][1]
+                th = int(feat.shape[2] * ratio_h)
+                tw = int(feat.shape[3] * ratio_w)
+                feat = center_crop_or_pad(feat, (th, tw))
+                if depth_logits is not None:
+                    out[f"depth_items_{mname}"] = depth_logits
             mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
             contrib = feat * mmask
             feature = contrib if feature is None else feature + contrib

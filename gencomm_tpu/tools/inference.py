@@ -1,0 +1,111 @@
+"""Evaluation entry point: run a trained model over a dataset and report
+VOC AP@0.3/0.5/0.7 (per-frame and global-sort variants).
+
+Parity: opencood/tools/inference.py + inference_utils.py. Robustness sweeps
+(pose noise / comm delay) mirror inference_w_noise.py:66-110 and
+inference_w_delay.py:66-78 via --pos_std/--rot_std/--delay flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gencomm_tpu.config.yaml_utils import load_yaml, save_yaml
+from gencomm_tpu.models.heter_baseline import build_model
+from gencomm_tpu.train import trainer, checkpoint
+from gencomm_tpu.data.postprocessor import generate_anchor_box
+from gencomm_tpu.pipeline import InferencePipeline
+from gencomm_tpu.utils import eval_utils, box_utils
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--dataset", default="opv2v",
+                        choices=["opv2v", "synthetic"])
+    parser.add_argument("--frames", type=int, default=50)
+    parser.add_argument("--pos_std", type=float, default=0.0)
+    parser.add_argument("--rot_std", type=float, default=0.0)
+    parser.add_argument("--laplace", action="store_true")
+    parser.add_argument("--delay", type=int, default=0,
+                        help="comm delay in ms (100 ms frames)")
+    parser.add_argument("--infer_info", default=None)
+    args = parser.parse_args(argv)
+
+    hypes = load_yaml(None, args.model_dir)
+    if args.pos_std or args.rot_std:
+        hypes["noise_setting"] = {
+            "add_noise": True,
+            "args": {"pos_std": args.pos_std, "rot_std": args.rot_std,
+                     "laplace": args.laplace},
+        }
+    if args.delay:
+        hypes["wild_setting"] = {"async": True, "async_overhead": args.delay}
+
+    np.random.seed(303)  # reference inference.py:107
+    from gencomm_tpu.tools.train import build_dataset
+
+    dataset = build_dataset(hypes, False, args.dataset)
+    model = build_model(hypes)
+
+    ckpt_path = checkpoint.latest_checkpoint(args.model_dir)
+    assert ckpt_path, f"no checkpoint in {args.model_dir}"
+    restored = checkpoint.load_checkpoint(ckpt_path)
+
+    anchors = generate_anchor_box(
+        hypes["postprocess"]["anchor_args"],
+        hypes["postprocess"].get("order", "hwl"),
+    )
+
+    # template init to get batch_stats structure
+    if args.dataset == "synthetic":
+        first = dataset.sample(0, 1)
+    else:
+        first = dataset.collate([dataset[0]])
+    variables = trainer.cpu_init(
+        model, first, jax.random.PRNGKey(0), train=False
+    )
+    variables = {
+        "params": checkpoint.load_into(variables["params"], restored["params"]),
+        "batch_stats": checkpoint.load_into(
+            variables.get("batch_stats", {}), restored.get("batch_stats", {})
+        ),
+    }
+    pipe = InferencePipeline(model, variables, anchors, hypes["postprocess"])
+
+    stat = eval_utils.new_result_stat()
+    n = args.frames if args.dataset == "synthetic" else min(
+        args.frames, len(dataset)
+    )
+    for f in range(n):
+        if args.dataset == "synthetic":
+            host = dataset.sample(1000 + f, 1)
+        else:
+            host = dataset.collate([dataset[f]])
+        batch = {k: jnp.asarray(v) for k, v in host.items()}
+        dets = pipe.run(batch, seed=f)
+        valid = np.asarray(dets.valid[0])
+        corners = np.asarray(dets.corners3d[0])[valid]
+        scores = np.asarray(dets.scores[0])[valid]
+        gt_boxes = host["gt_boxes"][0][host["gt_mask"][0] == 1]
+        gt = box_utils.boxes_to_corners_3d(gt_boxes, "hwl")
+        for t in (0.3, 0.5, 0.7):
+            eval_utils.calculate_tp_fp(corners, scores, gt, stat, t)
+
+    for global_sort in (False, True):
+        res = eval_utils.eval_final_results(stat, global_sort)
+        tag = "eval_global_sort" if global_sort else "eval"
+        if args.infer_info:
+            tag += f"_{args.infer_info}"
+        save_yaml(res, os.path.join(args.model_dir, f"{tag}.yaml"))
+        print(tag, {k: round(v, 4) for k, v in res.items()})
+    return res
+
+
+if __name__ == "__main__":
+    main()

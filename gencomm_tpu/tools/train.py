@@ -1,0 +1,129 @@
+"""Training entry point.
+
+Parity: opencood/tools/train.py (single-host) + train_ddp.py (the mesh is
+the DDP analog: batch axis sharded over all local devices, gradient
+all-reduce inserted by XLA).
+
+Usage:
+  python -m gencomm_tpu.tools.train --hypes_yaml configs/opv2v/xxx.yaml \
+      [--model_dir logs/run1] [--dataset synthetic|opv2v] [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+from gencomm_tpu.config.yaml_utils import load_yaml, save_yaml
+from gencomm_tpu.models.heter_baseline import build_model
+from gencomm_tpu.registry import LOSSES
+from gencomm_tpu.train import trainer, checkpoint
+from gencomm_tpu.data.postprocessor import generate_anchor_box
+import gencomm_tpu.loss.point_pillar_loss  # noqa: F401  (register losses)
+
+
+def build_dataset(hypes: dict, train: bool, dataset: str):
+    if dataset == "synthetic":
+        from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+
+        cfg = SyntheticConfig(
+            lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),
+            max_cav=hypes["train_params"]["max_cav"],
+        )
+        return SyntheticScenes(cfg)
+    from gencomm_tpu.data.opv2v import OPV2VDataset
+
+    return OPV2VDataset(hypes, train=train)
+
+
+def batches(dataset, batch_size: int, seed: int, dataset_kind: str):
+    if dataset_kind == "synthetic":
+        step = 0
+        while True:
+            yield dataset.sample(seed * 10000 + step, batch_size)
+            step += 1
+    else:
+        idx = np.random.RandomState(seed).permutation(len(dataset))
+        for start in range(0, len(idx) - batch_size + 1, batch_size):
+            samples = [dataset[i] for i in idx[start : start + batch_size]]
+            yield dataset.collate(samples)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--hypes_yaml", "-y", required=True)
+    parser.add_argument("--model_dir", default=None)
+    parser.add_argument("--dataset", default="opv2v",
+                        choices=["opv2v", "synthetic"])
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps_per_epoch", type=int, default=50)
+    parser.add_argument("--freeze_prefixes", default="",
+                        help="comma-separated param-path prefixes to freeze "
+                             "(stage-2 protocol)")
+    parser.add_argument("--init_from", default=None,
+                        help="checkpoint path for non-strict restore")
+    args = parser.parse_args(argv)
+
+    hypes = load_yaml(args.hypes_yaml, args.model_dir)
+    model_dir = args.model_dir or os.path.join(
+        "logs", hypes.get("name", "run") + time.strftime("_%m%d_%H%M%S")
+    )
+    os.makedirs(model_dir, exist_ok=True)
+    save_yaml(hypes, os.path.join(model_dir, "config.yaml"))
+
+    dataset = build_dataset(hypes, True, args.dataset)
+    model = build_model(hypes)
+    criterion = LOSSES.get(hypes["loss"]["core_method"])(hypes["loss"]["args"])
+
+    frozen_pred = None
+    if args.freeze_prefixes:
+        frozen_pred = trainer.freeze_by_prefixes(
+            args.freeze_prefixes.split(",")
+        )
+    tx = trainer.make_optimizer(hypes, args.steps_per_epoch, frozen_pred)
+
+    batch_size = hypes["train_params"]["batch_size"]
+    first = next(batches(dataset, batch_size, 0, args.dataset))
+    state = trainer.create_train_state(model, first, jax.random.PRNGKey(0), tx)
+
+    if args.init_from:
+        restored = checkpoint.load_checkpoint(args.init_from)
+        state = state.replace(
+            params=checkpoint.load_into(
+                jax.device_get(state.params), restored["params"]
+            )
+        )
+
+    step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred)
+    epochs = args.epochs or hypes["train_params"]["epoches"]
+    for epoch in range(epochs):
+        gen = batches(dataset, batch_size, epoch, args.dataset)
+        for it in range(args.steps_per_epoch):
+            try:
+                batch = next(gen)
+            except StopIteration:
+                break
+            state, losses = step_fn(
+                state, batch, jax.random.PRNGKey(epoch * 100003 + it)
+            )
+            if it % 10 == 0:
+                msg = " ".join(
+                    f"{k}={float(v):.4f}" for k, v in losses.items()
+                )
+                print(f"[epoch {epoch}][{it}] {msg}", flush=True)
+        if hasattr(dataset, "reinitialize"):
+            dataset.reinitialize()
+        if (epoch + 1) % hypes["train_params"].get("save_freq", 1) == 0:
+            path = checkpoint.save_checkpoint(model_dir, state, step=epoch + 1)
+            print(f"saved {path}", flush=True)
+    checkpoint.save_checkpoint(model_dir, state, step=epochs)
+    print("training done:", model_dir)
+    return model_dir
+
+
+if __name__ == "__main__":
+    main()

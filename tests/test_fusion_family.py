@@ -15,6 +15,11 @@ ARGS = {
     "disconet": {"feat_dim": C},
     "v2vnet": {"in_channels": C, "num_iteration": 2, "gru_flag": True,
                "agg_operator": "avg"},
+    "cobevt": {"input_dim": C, "mlp_dim": 64, "dim_head": 16,
+               "window_size": 4, "agent_size": L, "depth": 1},
+    "v2xvit": {"dim": C, "depth": 1, "num_blocks": 1,
+               "window_sizes": (2, 4), "pwindow_heads": (4, 2),
+               "pwindow_dim_heads": (8, 16), "mlp_dim": 64},
 }
 
 
@@ -26,7 +31,9 @@ def _identity_affine():
 
 
 @pytest.mark.parametrize(
-    "method", ["max", "att", "disconet", "who2com", "where2comm", "v2vnet"]
+    "method",
+    ["max", "att", "disconet", "who2com", "where2comm", "v2vnet",
+     "cobevt", "v2xvit"],
 )
 def test_fusion_shapes_and_mask_invariance(method):
     rng = np.random.RandomState(0)
