@@ -47,6 +47,7 @@ class ModalityBranch(nn.Module):
     backbone_args: Dict[str, Any]
     shrink_args: Dict[str, Any]
     core_method: str = "point_pillar"
+    encode_only: bool = False  # skip backbone+shrinker (pyramid models)
 
     @nn.compact
     def __call__(self, inputs: Dict[str, Any], train: bool = False):
@@ -64,6 +65,8 @@ class ModalityBranch(nn.Module):
                 name="encoder",
             )
             canvas, depth_logits = enc(inputs, train)
+            if self.encode_only:
+                return canvas, depth_logits
             return self._neck(canvas, train), depth_logits
         points, point_mask = inputs["points"], inputs["point_mask"]
         if self.core_method == "point_pillar":
@@ -93,6 +96,8 @@ class ModalityBranch(nn.Module):
         else:
             raise ValueError(f"unknown encoder core_method {self.core_method}")
         canvas = enc(points, point_mask, train)  # (B, L, ny, nx, C)
+        if self.encode_only:
+            return canvas, depth_logits
         return self._neck(canvas, train), depth_logits
 
     def _neck(self, canvas, train: bool):

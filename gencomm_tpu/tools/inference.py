@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from gencomm_tpu.config.yaml_utils import load_yaml, save_yaml
-from gencomm_tpu.models.heter_baseline import build_model
+from gencomm_tpu.models import create_model
 from gencomm_tpu.train import trainer, checkpoint
 from gencomm_tpu.data.postprocessor import generate_anchor_box
 from gencomm_tpu.pipeline import InferencePipeline
@@ -51,7 +51,7 @@ def main(argv=None):
     from gencomm_tpu.tools.train import build_dataset
 
     dataset = build_dataset(hypes, False, args.dataset)
-    model = build_model(hypes)
+    model = create_model(hypes)
 
     ckpt_path = checkpoint.latest_checkpoint(args.model_dir)
     assert ckpt_path, f"no checkpoint in {args.model_dir}"

@@ -19,11 +19,11 @@ import numpy as np
 import jax
 
 from gencomm_tpu.config.yaml_utils import load_yaml, save_yaml
-from gencomm_tpu.models.heter_baseline import build_model
+from gencomm_tpu.models import create_model
 from gencomm_tpu.registry import LOSSES
 from gencomm_tpu.train import trainer, checkpoint
 from gencomm_tpu.data.postprocessor import generate_anchor_box
-import gencomm_tpu.loss.point_pillar_loss  # noqa: F401  (register losses)
+import gencomm_tpu.loss  # noqa: F401  (register losses)
 
 
 def build_dataset(hypes: dict, train: bool, dataset: str):
@@ -76,7 +76,7 @@ def main(argv=None):
     save_yaml(hypes, os.path.join(model_dir, "config.yaml"))
 
     dataset = build_dataset(hypes, True, args.dataset)
-    model = build_model(hypes)
+    model = create_model(hypes)
     criterion = LOSSES.get(hypes["loss"]["core_method"])(hypes["loss"]["args"])
 
     frozen_pred = None
