@@ -84,6 +84,12 @@ def main(argv=None):
         frozen_pred = trainer.freeze_by_prefixes(
             args.freeze_prefixes.split(",")
         )
+    elif "stage2" in hypes["model"]["core_method"].lower():
+        # stage-2 protocol: auto-derive the freeze schedule — only new
+        # agents' message extractors train (gencomm_stage2.py:180-185)
+        trainable = trainer.stage2_trainable_prefixes(hypes)
+        print("stage-2 freeze: training only", trainable)
+        frozen_pred = trainer.freeze_all_except(trainable)
     tx = trainer.make_optimizer(hypes, args.steps_per_epoch, frozen_pred)
 
     batch_size = hypes["train_params"]["batch_size"]

@@ -97,6 +97,29 @@ def freeze_by_prefixes(prefixes: Sequence[str]) -> Callable[[tuple], bool]:
     return pred
 
 
+def freeze_all_except(trainable_prefixes: Sequence[str]) -> Callable[[tuple], bool]:
+    """Inverse of freeze_by_prefixes: everything is frozen unless the param
+    path's first component starts with a trainable prefix."""
+
+    def pred(path: tuple) -> bool:
+        return not any(
+            str(path[0]).startswith(p) for p in trainable_prefixes
+        )
+
+    return pred
+
+
+def stage2_trainable_prefixes(hypes: dict) -> list[str]:
+    """GenComm stage-2 freeze schedule: only the NEW (non-ego) agents'
+    message extractors train (reference
+    heter_model_baseline_w_gencomm_stage2.py:45-101,
+    model_train_init_stage2:180-185)."""
+    args = hypes["model"]["args"]
+    ego = str(args.get("ego_modality", "m1"))
+    mods = [k for k in args if k.startswith("m") and k[1:].isdigit()]
+    return [f"message_extractor_{m}" for m in mods if m not in ego]
+
+
 def restore_frozen_batch_stats(new_stats, old_stats,
                                frozen_predicate: Callable[[tuple], bool]):
     """Keep frozen modules' BN statistics fixed (reference ``fix_bn``

@@ -1,0 +1,102 @@
+"""GenComm stage-2 protocol: checkpoint merge + freeze schedule.
+
+Parity: heter_model_baseline_w_gencomm_stage2.py:45-101 (only the new
+agent's message extractor trains; everything else — encoders, backbones,
+gencomm, fusion, heads, ego DME — is frozen, including BN statistics) and
+tools/heal_tools.py merge_and_save.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax.traverse_util import flatten_dict
+
+from gencomm_tpu.data.synthetic import SyntheticScenes
+from gencomm_tpu.models.heter_baseline import HeterModel
+from gencomm_tpu.loss.point_pillar_loss import PointPillarGenCommLoss
+from gencomm_tpu.train import trainer
+from tests.test_model_forward import TINY, MODALITY_ARGS, LOSS_ARGS
+from tests.test_heter_model import M2_SECOND_ARGS
+
+
+@pytest.fixture(scope="module")
+def stage2_setup():
+    scenes = SyntheticScenes(TINY)
+    host = scenes.sample(seed=7, batch_size=1)
+    host["modality_mask_m1"][:, 1:] = False
+    m2 = host["agent_mask"].copy()
+    m2[:, 0] = False
+    host["points_m2"] = host["points_m1"].copy()
+    host["point_mask_m2"] = host["point_mask_m1"].copy()
+    host["modality_mask_m2"] = m2
+    model = HeterModel(
+        modality_args={
+            "m1": dict(MODALITY_ARGS["m1"], core_method="point_pillar"),
+            "m2": M2_SECOND_ARGS,
+        },
+        fusion_method="att",
+        fusion_args={"att": {"feat_dim": 64}},
+        lidar_range=TINY.lidar_range,
+        anchor_number=2,
+        in_head=64,
+        use_gencomm=True,
+        use_enhancer=False,
+    )
+    return model, host
+
+
+def test_stage2_only_new_dme_trains(stage2_setup):
+    model, host = stage2_setup
+    hypes = {
+        "model": {"core_method": "heter_model_baseline_w_gencomm_stage2",
+                  "args": {"ego_modality": "m1", "m1": {}, "m2": {}}},
+        "optimizer": {"core_method": "Adam", "lr": 0.01,
+                      "args": {"eps": 1e-10}},
+        "lr_scheduler": {"core_method": "constant"},
+    }
+    trainable = trainer.stage2_trainable_prefixes(hypes)
+    assert trainable == ["message_extractor_m2"]
+    frozen_pred = trainer.freeze_all_except(trainable)
+
+    tx = trainer.make_optimizer(hypes, frozen_predicate=frozen_pred)
+    criterion = PointPillarGenCommLoss(LOSS_ARGS)
+    state = trainer.create_train_state(
+        model, host, jax.random.PRNGKey(0), tx
+    )
+    before_p = flatten_dict(jax.device_get(state.params))
+    before_s = flatten_dict(jax.device_get(state.batch_stats))
+
+    step = trainer.make_train_step(model, criterion, tx, frozen_pred)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total_loss"]))
+
+    after_p = flatten_dict(jax.device_get(state.params))
+    changed = {
+        k for k in before_p
+        if not np.allclose(before_p[k], after_p[k], atol=0)
+    }
+    assert changed, "new-agent DME must receive updates"
+    for k in changed:
+        assert str(k[0]).startswith("message_extractor_m2"), (
+            f"frozen param {k} was updated"
+        )
+
+    # frozen modules' BN statistics must not drift (fix_bn semantics)
+    after_s = flatten_dict(jax.device_get(state.batch_stats))
+    for k in before_s:
+        if not str(k[0]).startswith("message_extractor_m2"):
+            assert np.allclose(before_s[k], after_s[k]), (
+                f"frozen BN stat {k} drifted"
+            )
+
+
+def test_merge_params_union_and_conflicts(tmp_path):
+    from gencomm_tpu.train import checkpoint
+
+    a = {"heads": {"w": np.ones(3)}, "branch_m1": {"w": np.ones(2)}}
+    b = {"heads": {"w": np.full(3, 5.0)}, "branch_m2": {"w": np.ones(4)}}
+    merged = checkpoint.merge_params(a, b, prefer="new")
+    assert set(merged) == {"heads", "branch_m1", "branch_m2"}
+    np.testing.assert_allclose(merged["heads"]["w"], np.full(3, 5.0))
