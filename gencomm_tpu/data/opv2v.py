@@ -110,6 +110,21 @@ class OPV2VDataset:
             delay_ms = wild.get("async_overhead", 0)
         self.delay_frames = int(delay_ms) // 100
 
+        # heterogeneity controller (modality assignment / mapping / lidar
+        # channel switch; heter_utils.Adaptor parity)
+        from gencomm_tpu.utils.heter_utils import Adaptor
+
+        self.adaptor = Adaptor.from_hypes(params, train)
+        self.model_modalities = (
+            self.adaptor.model_modality_list if self.adaptor else ["m1"]
+        )
+        self.lidar_modalities = [
+            m for m in self.model_modalities
+            if params.get("heter", {}).get("modality_setting", {}).get(
+                m, {"sensor_type": "lidar"}
+            ).get("sensor_type", "lidar") == "lidar"
+        ] or ["m1"]
+
         self.rng = np.random.RandomState(params.get("seed", 303))
         self.reinitialize()
 
@@ -157,11 +172,14 @@ class OPV2VDataset:
 
         # gather per-cav data; ego = first cav
         cav_list = list(db.keys())
+        if self.adaptor is not None and not self.train:
+            cav_list = self.adaptor.reorder_cav_list(cav_list, sc)
         ego_path = db[cav_list[0]]["path"]
         ego_yaml = load_cav_yaml(os.path.join(ego_path, f"{timestamp}.yaml"))
         ego_pose = np.array(ego_yaml["lidar_pose"], np.float64)
 
         agents, poses, vehicles_union = [], [], OrderedDict()
+        agent_modalities = []
         for ci, cav in enumerate(cav_list):
             entry = db[cav]
             ts = timestamp
@@ -178,7 +196,27 @@ class OPV2VDataset:
             dist = np.hypot(pose[0] - ego_pose[0], pose[1] - ego_pose[1])
             if ci > 0 and dist > self.comm_range:
                 continue
+            modality = "m1"
+            if self.adaptor is not None:
+                assigned = (self.adaptor.modality_assignment or {}).get(
+                    sc, {}
+                ).get(cav, "m1")
+                modality = self.adaptor.reassign_cav_modality(
+                    assigned, len(agents)
+                )
+                if self.adaptor.unmatched_modality(modality):
+                    if ci == 0:
+                        modality = self.adaptor.ego_modality.split("&")[0]
+                    else:
+                        continue
             pcd_path = os.path.join(entry["path"], f"{ts}.pcd")
+            if self.adaptor is not None:
+                switched = self.adaptor.switch_lidar_channels(
+                    modality, pcd_path
+                )
+                if os.path.exists(switched):
+                    pcd_path = switched
+            agent_modalities.append(modality)
             pts = pcd_utils.read_pcd(pcd_path)
             pts = pcd_utils.mask_ego_points(pts)
             if self.train:
@@ -222,18 +260,29 @@ class OPV2VDataset:
             gt_boxes, gt_mask, self.anchors, self.pos_threshold,
             self.neg_threshold,
         )
-        return {
+        sample = {
             "agent_mask": agent_mask,
             "pairwise_t_matrix": pairwise,
-            "points_m1": points,
-            "point_mask_m1": point_mask,
-            "modality_mask_m1": agent_mask.copy(),
             "pos_equal_one": label["pos_equal_one"],
             "neg_equal_one": label["neg_equal_one"],
             "targets": label["targets"],
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
+        # per-modality slot masks + shared point buffers (the model runs
+        # each lidar branch over all slots and mask-combines)
+        for m in self.lidar_modalities:
+            mmask = np.zeros(L, bool)
+            for i, am in enumerate(agent_modalities):
+                mmask[i] = am == m
+            sample[f"points_{m}"] = points
+            sample[f"point_mask_{m}"] = point_mask
+            sample[f"modality_mask_{m}"] = mmask
+        if not any(agent_modalities):
+            sample["modality_mask_m1"] = agent_mask.copy()
+        if self.adaptor is None:
+            sample["modality_mask_m1"] = agent_mask.copy()
+        return sample
 
     def collate(self, samples) -> dict:
         return {

@@ -129,6 +129,86 @@ class PointPillarLoss:
         return losses
 
 
+@LOSSES.register("point_pillar_codebook_loss")
+class PointPillarCodebookLoss(PointPillarLoss):
+    """Detection loss + UMGM reconstruction MSE
+    (point_pillar_codebook_loss.py:54-57, unit weight)."""
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "codebook_loss" in output:
+            cb = output["codebook_loss"]
+            losses["codebook_loss"] = cb
+            losses["total_loss"] = losses["total_loss"] + cb
+        return losses
+
+
+@LOSSES.register("point_pillar_mpda_loss")
+class PointPillarMPDALoss(PointPillarLoss):
+    """Detection loss + adversarial domain BCE
+    (point_pillar_mpda_loss.py:125-151): per-pixel domain logits, target 1
+    for the ego (source) slot and 0 for collaborators; the gradient-
+    reversal layer in DAImgHead makes this adversarial for the features."""
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "da_feature" in output:
+            logits = output["da_feature"]  # (B, L, H, W, 1)
+            b, l = logits.shape[:2]
+            labels = (
+                jnp.arange(l)[None, :, None, None, None] == 0
+            ).astype(logits.dtype)
+            labels = jnp.broadcast_to(labels, logits.shape)
+            bce = (
+                jnp.clip(logits, 0, None) - logits * labels
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            mask = target.get("agent_mask")
+            if mask is not None:
+                m = mask[:, :, None, None, None].astype(logits.dtype)
+                da = (bce * m).sum() / jnp.clip(
+                    m.sum() * np.prod(logits.shape[2:]), 1.0, None
+                )
+            else:
+                da = bce.mean()
+            losses["da_loss"] = da
+            losses["total_loss"] = losses["total_loss"] + da
+        return losses
+
+
+@LOSSES.register("adapter_loss")
+class AdapterLoss:
+    """STAMP adapter cycle-consistency loss (adapter_loss.py:14-50):
+    alpha_P2M * MSE(FM, P2M) + alpha_M2P2M * MSE(FM, M2P2M)
+    + alpha_M2P * MSE(FP, M2P), summed over non-ego modalities."""
+
+    def __init__(self, args: dict):
+        self.alpha_p2m = args.get("alpha_P2M", 1.0)
+        self.alpha_m2p2m = args.get("alpha_M2P2M", 1.0)
+        self.alpha_m2p = args.get("alpha_M2P", 1.0)
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        fp = output["stamp_FP"]
+        total = 0.0
+        losses = {}
+        for key in output:
+            if not key.startswith("stamp_FM_"):
+                continue
+            m = key[len("stamp_FM_"):]
+            fm = output[key]
+            p2m = jnp.mean((fm - output[f"stamp_P2M_{m}"]) ** 2)
+            m2p2m = jnp.mean((fm - output[f"stamp_M2P2M_{m}"]) ** 2)
+            m2p = jnp.mean((fp - output[f"stamp_M2P_{m}"]) ** 2)
+            sub = (self.alpha_p2m * p2m + self.alpha_m2p2m * m2p2m
+                   + self.alpha_m2p * m2p)
+            losses[f"P2M_{m}"] = p2m
+            losses[f"M2P2M_{m}"] = m2p2m
+            losses[f"M2P_{m}"] = m2p
+            total = total + sub
+        losses["total_loss"] = total
+        return losses
+
+
 @LOSSES.register("point_pillar_gencomm_loss")
 class PointPillarGenCommLoss(PointPillarLoss):
     """Detection loss + feature-generation MSE

@@ -125,6 +125,10 @@ class ModalityBranch(nn.Module):
 @MODELS.register("heter_model_baseline")
 @MODELS.register("heter_model_baseline_w_gencomm_stage1")
 @MODELS.register("heter_model_baseline_w_gencomm_stage2")
+@MODELS.register("heter_model_baseline_w_backalign")
+@MODELS.register("heter_model_baseline_w_codebook")
+@MODELS.register("heter_model_baseline_w_mpda")
+@MODELS.register("heter_model_baseline_w_stamp")
 class HeterModel(nn.Module):
     """Unified hetero model; GenComm message passing optional."""
 
@@ -143,6 +147,29 @@ class HeterModel(nn.Module):
     unet_ch_mult: Sequence[int] = (1, 1)
     unet_num_res_blocks: int = 2
     missing_message_rate: float = 0.0  # eval-time robustness injection
+    # BackAlign-style eval-time feature corruption on non-ego agents
+    # (heter_model_baseline_w_backalign.py:252-260): random per-pixel drop
+    # + additive Gaussian noise on the transmitted features.
+    feature_missing_rate: float = 0.0
+    feature_noise_std: float = 0.0
+    # CodeFilling (heter_model_baseline_w_codebook.py): UMGM quantization of
+    # transmitted features + where2comm confidence comm masks
+    use_codebook: bool = False
+    codebook_seg: int = 2
+    codebook_dict_sizes: Tuple[int, ...] = (64, 64, 64)
+    use_comm_mask: bool = False
+    comm_thre: float = 0.01
+    # MPDA (heter_model_baseline_w_mpda.py): learnable resizer + cross-
+    # domain fusion on non-ego features + adversarial domain classifier
+    use_mpda: bool = False
+    mpda_window_size: int = 8
+    mpda_depth: int = 1
+    # STAMP (heter_model_baseline_w_stamp.py): per-modality adapters map
+    # features into the protocol space (= the ego/collab-base space here);
+    # reverters map back for the cycle-consistency adapter loss.
+    use_stamp: bool = False
+    ego_modality: str = "m1"
+    stamp_args: Dict[str, Any] | None = None
     supervise_single: bool = False
 
     @nn.compact
@@ -160,6 +187,7 @@ class HeterModel(nn.Module):
         # --- per-modality encode (all agent slots), combine by masks ---
         feature = None
         message = None
+        feats: Dict[str, jnp.ndarray] = {}
         for mname, margs in self.modality_args.items():
             core = margs.get("core_method", "point_pillar")
             if margs.get("sensor_type", "lidar") == "camera":
@@ -196,6 +224,7 @@ class HeterModel(nn.Module):
                 feat = center_crop_or_pad(feat, (th, tw))
                 if depth_logits is not None:
                     out[f"depth_items_{mname}"] = depth_logits
+            feats[mname] = feat
             mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
             contrib = feat * mmask
             feature = contrib if feature is None else feature + contrib
@@ -210,6 +239,74 @@ class HeterModel(nn.Module):
 
         hw = feature.shape[2:4]
 
+        if self.use_stamp:
+            # rebuild the combined feature in protocol space: non-ego
+            # modalities pass through their adapter; cycle-consistency
+            # tensors are emitted for the adapter loss
+            # (adapter_loss.py:23-50: P2M / M2P2M / M2P MSEs)
+            from gencomm_tpu.models.stamp import StampAdapter
+
+            ego_m = self.ego_modality
+            fp = feats[ego_m]
+            out["stamp_FP"] = fp
+            feature = None
+            for mname, margs in self.modality_args.items():
+                f = feats[mname]
+                if mname == ego_m:
+                    proto = f
+                else:
+                    cfgs = (self.stamp_args or {}).get(mname, {})
+                    in_range = tuple(
+                        margs["encoder_args"].get(
+                            "lidar_range", self.lidar_range
+                        )
+                    )
+                    flat = f.reshape((b * l,) + f.shape[2:])
+                    adapter = StampAdapter.from_config(
+                        cfgs.get("adapter", {}), in_range,
+                        self.lidar_range, fp.shape[2:4],
+                        name=f"adapter_{mname}",
+                    )
+                    m2p = adapter(flat, train)
+                    proto = m2p.reshape((b, l) + m2p.shape[1:])
+                    # is_initializing(): reverter params must exist even
+                    # when the first apply is an eval pass
+                    if train or self.is_initializing():
+                        reverter = StampAdapter.from_config(
+                            cfgs.get("reverter", {}), self.lidar_range,
+                            in_range, f.shape[2:4],
+                            name=f"reverter_{mname}",
+                        )
+                        fp_flat = fp.reshape((b * l,) + fp.shape[2:])
+                        out[f"stamp_FM_{mname}"] = f
+                        out[f"stamp_M2P_{mname}"] = proto
+                        out[f"stamp_M2P2M_{mname}"] = reverter(
+                            m2p, train
+                        ).reshape(f.shape)
+                        out[f"stamp_P2M_{mname}"] = reverter(
+                            fp_flat, train
+                        ).reshape(f.shape)
+                mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
+                contrib = proto * mmask
+                feature = contrib if feature is None else feature + contrib
+
+        if (not train) and (
+            self.feature_missing_rate > 0 or self.feature_noise_std > 0
+        ):
+            rng = self.make_rng("dropout")
+            keep = (
+                jax.random.uniform(rng, (b, l) + hw + (1,))
+                > self.feature_missing_rate
+            )
+            noise = (
+                jax.random.normal(
+                    jax.random.fold_in(rng, 1), feature.shape
+                ) * self.feature_noise_std
+            )
+            corrupted = feature * keep + noise
+            is_ego = jnp.arange(l)[None, :, None, None, None] == 0
+            feature = jnp.where(is_ego, feature, corrupted)
+
         if self.supervise_single:
             flat_feat = feature.reshape((b * l,) + feature.shape[2:])
             cls_s, reg_s, dir_s = DetectionHeads(
@@ -219,6 +316,75 @@ class HeterModel(nn.Module):
                 cls_preds_single=cls_s, reg_preds_single=reg_s,
                 dir_preds_single=dir_s,
             )
+
+        heads = DetectionHeads(self.anchor_number, self.dir_bins, name="heads")
+
+        if self.use_mpda:
+            # non-ego features pass through resizer + cross-domain encoder
+            # conditioned on the ego's feature; all slots are domain-
+            # classified behind a gradient-reversal layer
+            # (heter_model_baseline_w_mpda.py:230-262)
+            from gencomm_tpu.models.mpda import (
+                LearnableResizer, CrossDomainFusionEncoder, DAImgHead,
+            )
+
+            c = feature.shape[-1]
+            hw2 = feature.shape[2:4]
+            ego = feature[:, 0]
+            cavs = feature[:, 1:].reshape((b * (l - 1),) + feature.shape[2:])
+            ego_rep = jnp.broadcast_to(
+                feature[:, 0:1], (b, l - 1) + feature.shape[2:]
+            ).reshape(cavs.shape)
+            resized = LearnableResizer(
+                out_channel=c, window_size=self.mpda_window_size,
+                wg_depth=self.mpda_depth, name="resizer",
+            )(ego_rep, cavs, train)
+            aligned = CrossDomainFusionEncoder(
+                dim=c, depth=self.mpda_depth,
+                window_size=self.mpda_window_size, name="cdt",
+            )(ego_rep, resized)
+            feature = jnp.concatenate(
+                [ego[:, None], aligned.reshape((b, l - 1) + aligned.shape[1:])],
+                axis=1,
+            )
+            da_logits = DAImgHead(name="classifier")(
+                feature.reshape((b * l,) + hw2 + (c,))
+            )
+            out["da_feature"] = da_logits.reshape((b, l) + hw2 + (1,))
+
+        if self.use_codebook:
+            # quantize transmitted features; the ego keeps its raw feature
+            # (heter_model_baseline_w_codebook.py:272-291)
+            from gencomm_tpu.models.codebook import UMGMQuantizer
+
+            c = feature.shape[-1]
+            restored, _codes, code_loss = UMGMQuantizer(
+                channel=c, seg_num=self.codebook_seg,
+                dict_sizes=tuple(self.codebook_dict_sizes), name="codebook",
+            )(feature.reshape(-1, c), train)
+            q_feat = restored.reshape(feature.shape)
+            is_ego = jnp.arange(l)[None, :, None, None, None] == 0
+            feature = jnp.where(is_ego, feature, q_feat)
+            out["codebook_loss"] = code_loss
+
+        if self.use_comm_mask:
+            # where2comm confidence masks from the shared cls head
+            # (heter_model_baseline_w_codebook.py:304-312)
+            from gencomm_tpu.models.fuse.where2comm import Communication
+
+            flat_feat = feature.reshape((b * l,) + feature.shape[2:])
+            cls_before = heads(flat_feat)[0]
+            conf = cls_before.reshape((b, l) + cls_before.shape[1:])
+            masks, rate = Communication(
+                thre=self.comm_thre, name="communication"
+            )(conf, agent_mask)
+            if conf.shape[2:4] != feature.shape[2:4]:
+                masks = jax.image.resize(
+                    masks, (b, l) + feature.shape[2:4] + (1,),
+                    method="nearest",
+                )
+            feature = feature * masks
+            out["comm_rate"] = rate
 
         if self.use_gencomm:
             # eval-time missing-message robustness: random 40%-style spatial
@@ -259,9 +425,7 @@ class HeterModel(nn.Module):
         fusion = build_fusion(self.fusion_method, self.fusion_args, name="fusion_net")
         fused = fusion(feature, affine, agent_mask, train)
 
-        cls_preds, reg_preds, dir_preds = DetectionHeads(
-            self.anchor_number, self.dir_bins, name="heads"
-        )(fused)
+        cls_preds, reg_preds, dir_preds = heads(fused)
         out.update(cls_preds=cls_preds, reg_preds=reg_preds, dir_preds=dir_preds)
         return out
 
@@ -282,7 +446,15 @@ def build_model(hypes: dict) -> HeterModel:
             enc.setdefault("lidar_range", args["lidar_range"])
             margs["encoder_args"] = enc
             modality_args[key] = margs
-    use_gencomm = "gencomm" in core or "gencomm" in args
+    use_gencomm = ("gencomm" in core or "gencomm" in args) and (
+        "backalign" not in core
+    )
+    # BackAlign robustness: features (not messages) are corrupted at eval
+    # with the reference's hardcoded missing 0.05 / noise sigma 3
+    # (heter_model_baseline_w_backalign.py:252-257)
+    backalign_missing = "backalign" in core and args.get(
+        "missing_message", False
+    )
     gencomm_cfg = args.get("gencomm", {})
     unet_cfg = gencomm_cfg.get("model", {})
     diff_cfg = gencomm_cfg.get("diffusion", {})
@@ -301,6 +473,30 @@ def build_model(hypes: dict) -> HeterModel:
         unet_ch=unet_cfg.get("ch", 8),
         unet_ch_mult=tuple(unet_cfg.get("ch_mult", (1, 1))),
         unet_num_res_blocks=unet_cfg.get("num_res_blocks", 2),
-        missing_message_rate=0.4 if args.get("missing_message", False) else 0.0,
+        missing_message_rate=(
+            0.4 if (use_gencomm and args.get("missing_message", False))
+            else 0.0
+        ),
+        feature_missing_rate=0.05 if backalign_missing else 0.0,
+        feature_noise_std=3.0 if backalign_missing else 0.0,
+        use_codebook="codebook" in args,
+        codebook_seg=args.get("codebook", {}).get("seg_num", 2),
+        codebook_dict_sizes=tuple(
+            [args["codebook"]["dict_size"]] * 3
+            if isinstance(args.get("codebook", {}).get("dict_size"), int)
+            else args.get("codebook", {}).get("dict_size", (64, 64, 64))
+        ),
+        use_comm_mask="communication" in args,
+        comm_thre=args.get("communication", {}).get("thre", 0.01),
+        use_mpda="mpda" in core,
+        mpda_window_size=args.get("cdt", {}).get("window_size", 8),
+        mpda_depth=args.get("cdt", {}).get("depth", 1),
+        use_stamp="stamp" in core,
+        ego_modality=str(args.get("ego_modality", "m1")),
+        stamp_args={
+            m: {"adapter": v.get("adapter", {}),
+                "reverter": v.get("reverter", {})}
+            for m, v in modality_args.items()
+        } if "stamp" in core else None,
         supervise_single=args.get("supervise_single", False),
     )

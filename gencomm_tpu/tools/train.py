@@ -35,6 +35,12 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
             max_cav=hypes["train_params"]["max_cav"],
         )
         return SyntheticScenes(cfg)
+    if dataset == "dairv2x":
+        from gencomm_tpu.data.dairv2x import DAIRV2XDataset
+
+        return DAIRV2XDataset(hypes, train=train)
+    # opv2v covers OPV2V / OPV2V-H / V2XSet (identical directory format,
+    # v2xset_basedataset.py:1-28 is a trivial subclass in the reference)
     from gencomm_tpu.data.opv2v import OPV2VDataset
 
     return OPV2VDataset(hypes, train=train)
@@ -58,7 +64,7 @@ def main(argv=None):
     parser.add_argument("--hypes_yaml", "-y", required=True)
     parser.add_argument("--model_dir", default=None)
     parser.add_argument("--dataset", default="opv2v",
-                        choices=["opv2v", "synthetic"])
+                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps_per_epoch", type=int, default=50)
     parser.add_argument("--freeze_prefixes", default="",
@@ -90,6 +96,25 @@ def main(argv=None):
         trainable = trainer.stage2_trainable_prefixes(hypes)
         print("stage-2 freeze: training only", trainable)
         frozen_pred = trainer.freeze_all_except(trainable)
+    elif "backalign" in hypes["model"]["core_method"].lower():
+        frozen = trainer.backalign_frozen_modules(hypes)
+        print("backalign freeze:", frozen)
+        frozen_pred = trainer.freeze_exact(frozen)
+    elif "codebook" in hypes["model"]["core_method"].lower():
+        # CodeFilling: only the quantizer trains
+        # (heter_model_baseline_w_codebook.py fix_modules)
+        print("codebook freeze: training only ['codebook']")
+        frozen_pred = trainer.freeze_all_except(["codebook"])
+    elif "stamp" in hypes["model"]["core_method"].lower():
+        # STAMP: only adapters/reverters train (train_stamp.py stagewise
+        # freezing)
+        print("stamp freeze: training only adapters/reverters")
+        frozen_pred = trainer.freeze_all_except(["adapter_", "reverter_"])
+    elif "mpda" in hypes["model"]["core_method"].lower():
+        # MPDA: all modality branches fixed; resizer/cdt/classifier +
+        # fusion/heads train (heter_model_baseline_w_mpda.py fix_modules)
+        print("mpda freeze: branches frozen")
+        frozen_pred = trainer.freeze_by_prefixes(["branch_"])
     tx = trainer.make_optimizer(hypes, args.steps_per_epoch, frozen_pred)
 
     batch_size = hypes["train_params"]["batch_size"]

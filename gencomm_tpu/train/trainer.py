@@ -120,6 +120,27 @@ def stage2_trainable_prefixes(hypes: dict) -> list[str]:
     return [f"message_extractor_{m}" for m in mods if m not in ego]
 
 
+def freeze_exact(names: Sequence[str]) -> Callable[[tuple], bool]:
+    """Predicate freezing params whose top-level module name equals one of
+    ``names`` exactly (so 'heads' does not catch 'heads_single')."""
+    nameset = set(names)
+
+    def pred(path: tuple) -> bool:
+        return str(path[0]) in nameset
+
+    return pred
+
+
+def backalign_frozen_modules(hypes: dict) -> list[str]:
+    """HEAL BackAlign freeze schedule: fusion, shared heads and the EGO
+    modality's whole branch are fixed; the new agents' branches train to
+    align backwards (heter_model_baseline_w_backalign.py:35,80-83,160-165).
+    """
+    args = hypes["model"]["args"]
+    ego = str(args.get("ego_modality", "m1"))
+    return ["fusion_net", "heads", f"branch_{ego}"]
+
+
 def restore_frozen_batch_stats(new_stats, old_stats,
                                frozen_predicate: Callable[[tuple], bool]):
     """Keep frozen modules' BN statistics fixed (reference ``fix_bn``
