@@ -89,16 +89,33 @@ class PointPillarEncoder(nn.Module):
         return nx, ny
 
     @nn.compact
-    def __call__(self, points, point_mask, train: bool = False):
+    def __call__(self, points, point_mask, train: bool = False,
+                 voxels=None, coords=None, counts=None,
+                 decorated=None, gids=None, dvalid=None):
+        """Two input conventions sharing one parameter set:
+
+        raw points   (B, L, P, 4) + mask — fully on-device voxelization
+                     (flat segment scatters);
+        voxel lists  voxels (B, L, M, K, 4), coords (B, L, M, 3) zyx,
+                     counts (B, L, M) — produced by the native host
+                     voxelizer (gencomm_tpu/native), list-local decorate +
+                     max (no scatter) and ONE unique-index scatter of M
+                     pillars. ~5x fewer scatter updates than the raw path.
+        """
+        nx, ny = self.grid
+        if voxels is not None:
+            return self._from_lists(voxels, coords, counts, nx, ny, train)
+        if decorated is not None:
+            return self._from_decorated(decorated, gids, dvalid, nx, ny,
+                                        train)
         # points: (B, L, P, 4); point_mask: (B, L, P)
         b, l, p, d = points.shape
-        nx, ny = self.grid
         flat_pts = points.reshape(b * l, p, d)
         flat_mask = point_mask.reshape(b * l, p)
 
         # One flat scatter across all agents (no vmapped segment ops — a
         # single big HBM scatter compiles and runs far better on TPU).
-        x, gids, valid = vox.pillar_decorate_flat(
+        x, gids, valid, occ = vox.pillar_decorate_flat(
             flat_pts, flat_mask, self.lidar_range, self.voxel_size, nx, ny
         )
 
@@ -106,5 +123,90 @@ class PointPillarEncoder(nn.Module):
         for f in self.num_filters:
             x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
 
-        canvas = vox.scatter_pillar_max_flat(x, gids, valid, b * l, nx, ny)
+        canvas = vox.scatter_pillar_max_flat(
+            x, gids, valid, b * l, nx, ny, occupancy=occ
+        )
         return canvas.reshape(b, l, ny, nx, x.shape[-1])
+
+    def _from_decorated(self, decorated, gids, dvalid, nx, ny, train):
+        """Host-decorated path (gencomm_tpu/native decorate_pillars): the
+        10-dim features and pillar ids arrive precomputed, so the device
+        does ONE matmul (PFN) and ONE max-scatter — no segment_sum/gather.
+
+        decorated: (B, L, P, 10); gids: (B, L, P) flat iy*nx+ix ids (or
+        >= nx*ny for invalid); dvalid: (B, L, P) bool.
+        """
+        b, l, p, _ = decorated.shape
+        ncell = nx * ny
+        x = decorated.reshape(b * l * p, decorated.shape[-1])
+        valid = dvalid.reshape(b * l * p)
+        for f in self.num_filters:
+            x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
+        agent = jax.lax.broadcasted_iota(
+            jnp.int32, (b * l, p), 0
+        ).reshape(b * l * p)
+        flat_gids = jnp.where(
+            valid, agent * ncell + jnp.minimum(gids.reshape(-1), ncell - 1),
+            b * l * ncell,
+        )
+        # PFN outputs are post-ReLU (>= 0): a zero-initialized max-scatter
+        # leaves empty pillars at exactly 0 — no occupancy pass needed
+        masked = jnp.where(valid[:, None], x, 0.0)
+        canvas = jnp.zeros((b * l * ncell + 1, x.shape[-1]), x.dtype)
+        canvas = canvas.at[flat_gids].max(masked)
+        return canvas[: b * l * ncell].reshape(b, l, ny, nx, x.shape[-1])
+
+    def _from_lists(self, voxels, coords, counts, nx, ny, train):
+        b, l, m, k, d = voxels.shape
+        n = b * l * m
+        vx = voxels.reshape(n, k, d)
+        cnt = counts.reshape(n)
+        cz = coords.reshape(n, 3)
+        kmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, k), 1) < cnt[:, None]
+        )
+
+        # decorate within lists — no scatter (pillar_vfe.py:105-149)
+        vf = kmask[..., None].astype(vx.dtype)
+        mean = (vx[..., :3] * vf).sum(1) / jnp.maximum(
+            cnt[:, None].astype(vx.dtype), 1.0
+        )
+        f_cluster = vx[..., :3] - mean[:, None, :]
+        cxy = jnp.stack(
+            [
+                cz[:, 2].astype(vx.dtype) * self.voxel_size[0]
+                + self.voxel_size[0] / 2 + self.lidar_range[0],
+                cz[:, 1].astype(vx.dtype) * self.voxel_size[1]
+                + self.voxel_size[1] / 2 + self.lidar_range[1],
+                jnp.full((n,), self.voxel_size[2] / 2 + self.lidar_range[2],
+                         vx.dtype),
+            ],
+            axis=-1,
+        )
+        f_center = vx[..., :3] - cxy[:, None, :]
+        x = jnp.concatenate([vx, f_cluster, f_center], axis=-1) * vf
+        x = x.reshape(n * k, x.shape[-1])
+        valid = kmask.reshape(n * k)
+        for f in self.num_filters:
+            x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
+        # masked max over the K axis — vectorized, no scatter
+        feat = jnp.where(
+            valid[:, None], x, jnp.finfo(x.dtype).min
+        ).reshape(n, k, -1).max(axis=1)
+        feat = jnp.where(cnt[:, None] > 0, feat, 0.0)
+
+        # ONE unique-index scatter of M pillars per agent
+        agent = jax.lax.broadcasted_iota(jnp.int32, (b * l, m), 0).reshape(n)
+        cell = cz[:, 1] * nx + cz[:, 2]
+        ncell = nx * ny
+        # empty slots get DISTINCT overflow rows so unique_indices holds
+        # (the voxelizer guarantees distinct cells among valid pillars);
+        # the overflow region is sliced away below.
+        overflow = b * l * ncell + jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1), 0
+        )[:, 0]
+        gids = jnp.where(cnt > 0, agent * ncell + cell, overflow)
+        canvas = jnp.zeros((b * l * ncell + n, feat.shape[-1]), feat.dtype)
+        canvas = canvas.at[gids].set(feat, mode="drop", unique_indices=True)
+        canvas = canvas[: b * l * ncell].reshape(b, l, ny, nx, feat.shape[-1])
+        return canvas

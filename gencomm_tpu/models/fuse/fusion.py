@@ -30,6 +30,12 @@ def warp_to_ego(x, affine):
     agent-i pixel coords into agent-j's map. Ego warp uses affine[b, 0, j]
     applied to agent j's feature (parity: fusion_in_one.py:73-81 uses
     t_matrix[0, :]).
+
+    NOTE: the sampling-grid einsum must run at HIGHEST precision
+    (ops/warp.py) — TPU's default bf16 passes round the coordinates.
+    With that fix the gather formulation measures faster than the MXU
+    Pallas kernel (ops/warp_pallas.py) at fusion sizes; the kernel remains
+    available via warp_affine_auto for larger maps.
     """
     nchw = jnp.transpose(x, (0, 1, 4, 2, 3))  # (B, L, C, H, W)
     theta = affine[:, 0]  # (B, L, 2, 3)

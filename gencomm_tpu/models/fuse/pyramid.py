@@ -25,7 +25,6 @@ import flax.linen as nn
 
 from gencomm_tpu.models.backbones.resnet_bev import BasicBlock, Bottleneck
 from gencomm_tpu.models.layers import ConvBNReLU, DeconvBNReLU
-from gencomm_tpu.ops.warp import warp_affine
 from gencomm_tpu.registry import FUSIONS
 
 _NEG = -1e9
@@ -38,11 +37,12 @@ def weighted_fuse(feat, score, affine, agent_mask):
     affine: (B, L, L, 2, 3); agent_mask: (B, L) bool.
     Returns (B, H, W, C). Parity: pyramid_fuse.py:17-63.
     """
-    nchw = jnp.transpose(feat, (0, 1, 4, 2, 3))
-    theta = affine[:, 0]  # ego row
-    warped = jnp.transpose(warp_affine(nchw, theta), (0, 1, 3, 4, 2))
-    s_nchw = jnp.transpose(score, (0, 1, 4, 2, 3))
-    warped_s = jnp.transpose(warp_affine(s_nchw, theta), (0, 1, 3, 4, 2))
+    from gencomm_tpu.models.fuse.fusion import warp_to_ego
+
+    # feature+score warped together in ONE kernel launch (concat on C)
+    both = jnp.concatenate([feat, score], axis=-1)
+    warped_both = warp_to_ego(both, affine)
+    warped, warped_s = warped_both[..., :-1], warped_both[..., -1:]
 
     valid = (warped_s > 0) & agent_mask[:, :, None, None, None]
     logits = jnp.where(valid, warped_s, _NEG)

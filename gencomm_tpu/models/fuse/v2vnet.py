@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from gencomm_tpu.ops.warp import warp_affine
+from gencomm_tpu.ops.warp_pallas import warp_affine_auto
 from gencomm_tpu.registry import FUSIONS
 
 
@@ -57,7 +57,7 @@ class V2VNetFusion(nn.Module):
         def warp_all_to(target_idx, feats_nchw):
             """Warp every agent's map into agent ``target_idx``'s frame."""
             theta = affine[:, target_idx]  # (B, L, 2, 3)
-            return warp_affine(feats_nchw, theta)
+            return warp_affine_auto(feats_nchw, theta)
 
         node = x  # (B, L, H, W, C)
         valid = agent_mask[..., None, None, None].astype(x.dtype)

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from gencomm_tpu.ops.warp import warp_affine
 from gencomm_tpu.models.fuse.fusion import warp_to_ego, _NEG
 from gencomm_tpu.registry import FUSIONS
 

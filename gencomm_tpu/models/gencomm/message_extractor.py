@@ -10,7 +10,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from gencomm_tpu.ops.deform import deform_conv3x3_nhwc
+from gencomm_tpu.ops.deform_pallas import deform_conv3x3_auto
 
 
 class MessageExtractor(nn.Module):
@@ -28,7 +28,7 @@ class MessageExtractor(nn.Module):
             (3, 3, self.in_ch, self.mid_ch),
         )
         dcn_bias = self.param("dcn_bias", nn.initializers.zeros, (self.mid_ch,))
-        b1 = deform_conv3x3_nhwc(x, offsets, weight, dcn_bias)
+        b1 = deform_conv3x3_auto(x, offsets, weight, dcn_bias)
 
         # SE attention over channels (message_extractor_v2.py:88-94)
         gap = b1.mean(axis=(1, 2), keepdims=True)

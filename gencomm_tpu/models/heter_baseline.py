@@ -79,6 +79,16 @@ class ModalityBranch(nn.Module):
                 use_norm=self.encoder_args["pillar_vfe"].get("use_norm", True),
                 name="encoder",
             )
+            if "decorated" in inputs:
+                # host-decorated fast path (gencomm_tpu/native)
+                canvas = enc(
+                    None, None, train,
+                    decorated=inputs["decorated"], gids=inputs["gids"],
+                    dvalid=inputs["dvalid"],
+                )
+                if self.encode_only:
+                    return canvas, depth_logits
+                return self._neck(canvas, train), depth_logits
         elif self.core_method == "second":
             from gencomm_tpu.models.encoders.second import SECONDEncoder
 
@@ -200,10 +210,18 @@ class HeterModel(nn.Module):
                     "post_trans": batch[f"post_trans_{mname}"],
                 }
             else:
-                inputs = {
-                    "points": batch[f"points_{mname}"],
-                    "point_mask": batch[f"point_mask_{mname}"],
-                }
+                if f"decorated_{mname}" in batch:
+                    inputs = {
+                        "decorated": batch[f"decorated_{mname}"],
+                        "gids": batch[f"gids_{mname}"],
+                        "dvalid": batch[f"dvalid_{mname}"],
+                        "points": None, "point_mask": None,
+                    }
+                else:
+                    inputs = {
+                        "points": batch[f"points_{mname}"],
+                        "point_mask": batch[f"point_mask_{mname}"],
+                    }
             feat, depth_logits = ModalityBranch(
                 encoder_args=margs["encoder_args"],
                 backbone_args=margs["backbone_args"],

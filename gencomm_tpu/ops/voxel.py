@@ -108,8 +108,14 @@ def pillar_decorate_flat(points, point_mask, pc_range, voxel_size,
 
     xyz = flat_pts[:, :3]
     vf = valid_f[:, None].astype(points.dtype)
-    sums = jax.ops.segment_sum(xyz * vf, gids, num_segments=a * ncell + 1)
-    cnts = jax.ops.segment_sum(vf, gids, num_segments=a * ncell + 1)
+    # ONE fused scatter for sums and counts (xyz | 1): TPU scatters cost
+    # per update row, not per channel — halving the scatter count halves
+    # the dominant term of the pillar path
+    sums4 = jax.ops.segment_sum(
+        jnp.concatenate([xyz, jnp.ones_like(vf)], axis=-1) * vf,
+        gids, num_segments=a * ncell + 1,
+    )
+    sums, cnts = sums4[:, :3], sums4[:, 3:4]
     mean = sums / jnp.maximum(cnts, 1.0)
     f_cluster = xyz - mean[gids]
 
@@ -122,23 +128,27 @@ def pillar_decorate_flat(points, point_mask, pc_range, voxel_size,
     f_center = xyz - jnp.stack([cx, cy, cz], axis=-1)
 
     feats = jnp.concatenate([flat_pts, f_cluster, f_center], axis=-1) * vf
-    return feats, gids, valid_f
+    return feats, gids, valid_f, cnts[:, 0]
 
 
 def scatter_pillar_max_flat(point_feats, gids, valid, n_agents: int,
-                            nx: int, ny: int):
+                            nx: int, ny: int, occupancy=None):
     """Flat max-scatter onto all agents' BEV canvases at once.
 
-    point_feats: (A*P, C); returns (A, ny, nx, C), empty pillars = 0.
+    point_feats: (A*P, C); ``occupancy``: optional per-cell counts from
+    pillar_decorate_flat (avoids a second scatter pass).
+    Returns (A, ny, nx, C), empty pillars = 0.
     """
     ncell = nx * ny
     neg = jnp.finfo(point_feats.dtype).min
     masked = jnp.where(valid[:, None], point_feats, neg)
     out = jax.ops.segment_max(masked, gids, num_segments=n_agents * ncell + 1)
-    occ = jax.ops.segment_sum(
-        valid.astype(point_feats.dtype), gids, num_segments=n_agents * ncell + 1
-    )
-    out = jnp.where(occ[:, None] > 0, out, 0.0)
+    if occupancy is None:
+        occupancy = jax.ops.segment_sum(
+            valid.astype(point_feats.dtype), gids,
+            num_segments=n_agents * ncell + 1,
+        )
+    out = jnp.where(occupancy[:, None] > 0, out, 0.0)
     return out[: n_agents * ncell].reshape(
         n_agents, ny, nx, point_feats.shape[-1]
     )

@@ -9,6 +9,7 @@ corners 0..3, counter-clockwise in xy).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Bottom-then-top corner template in (l, w, h) half-extents, CCW bottom face.
@@ -40,7 +41,13 @@ def boxes_to_corners_3d(boxes, order: str):
     rot = xp.stack(
         [c, s, zeros, -s, c, zeros, zeros, zeros, ones], axis=-1
     ).reshape(-1, 3, 3)
-    corners = corners @ rot  # row-vector convention: p' = p @ R
+    if xp is jnp:
+        # geometric coords: force fp32 (TPU matmul defaults to bf16 passes,
+        # which would round corner positions by ~0.5 m at |x|~100)
+        corners = jnp.einsum("nkj,nji->nki", corners, rot,
+                             precision=jax.lax.Precision.HIGHEST)
+    else:
+        corners = corners @ rot  # row-vector convention: p' = p @ R
     return corners + boxes[:, None, 0:3]
 
 
@@ -72,7 +79,12 @@ def project_box3d(corners3d, transformation_matrix):
     n = corners3d.shape[0]
     ones = xp.ones((n, 8, 1), dtype=corners3d.dtype)
     hom = xp.concatenate([corners3d, ones], axis=-1)  # (N, 8, 4)
-    out = hom @ xp.asarray(transformation_matrix, dtype=corners3d.dtype).T
+    tfm = xp.asarray(transformation_matrix, dtype=corners3d.dtype)
+    if xp is jnp:
+        out = jnp.einsum("nkj,ij->nki", hom, tfm,
+                         precision=jax.lax.Precision.HIGHEST)
+    else:
+        out = hom @ tfm.T
     return out[..., :3]
 
 
