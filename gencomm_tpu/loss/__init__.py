@@ -3,6 +3,8 @@ here explicit imports)."""
 
 from gencomm_tpu.loss import point_pillar_loss as _pp  # noqa: F401
 from gencomm_tpu.loss import pyramid_loss as _pyr  # noqa: F401
+from gencomm_tpu.models import center_point as _cp  # noqa: F401
+from gencomm_tpu.models.encoders import pixor as _px  # noqa: F401
 
 from gencomm_tpu.registry import LOSSES
 

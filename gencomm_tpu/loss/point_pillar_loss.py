@@ -176,6 +176,57 @@ class PointPillarMPDALoss(PointPillarLoss):
         return losses
 
 
+@LOSSES.register("point_pillar_disconet_loss")
+class PointPillarDiscoNetLoss(PointPillarLoss):
+    """DiscoNet knowledge distillation (point_pillar_disconet_loss.py):
+    detection loss + KL(log_softmax(student_feature_ch) ||
+    softmax(teacher_feature_ch)) over the channel axis."""
+
+    def __init__(self, args: dict):
+        super().__init__(args)
+        self.kd_weight = args.get("kd", {}).get("weight", 1.0) \
+            if isinstance(args.get("kd"), dict) else args.get("kd", 1.0)
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "teacher_feature" in output and "student_feature" in output:
+            t = output["teacher_feature"].reshape(
+                -1, output["teacher_feature"].shape[-1]
+            )
+            s = output["student_feature"].reshape(-1, t.shape[-1])
+            logp = jax.nn.log_softmax(s, axis=-1)
+            q = jax.nn.softmax(jax.lax.stop_gradient(t), axis=-1)
+            kd = (q * (jnp.log(q + 1e-12) - logp)).sum(-1).mean()
+            kd = kd * self.kd_weight
+            losses["kd_loss"] = kd
+            losses["total_loss"] = losses["total_loss"] + kd
+        return losses
+
+
+@LOSSES.register("point_pillar_gmatch_loss")
+class PointPillarGMatchLoss:
+    """Gradient-matching criterion (point_pillar_gmatch_loss.py): returns
+    loss_S (generated path), loss_T (original path) and gen_loss; the
+    trainer combines them with the grad-match MSE
+    (tools/train_gmatch.py:150-160)."""
+
+    def __init__(self, args: dict):
+        self.det = PointPillarLoss(args)
+        self.generate_weight = args.get("generate_weight", 1.0)
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        loss_s = self.det(output, target, suffix)["total_loss"]
+        out_t = dict(output)
+        out_t["cls_preds"] = output["cls_preds_T"]
+        out_t["reg_preds"] = output["reg_preds_T"]
+        out_t["dir_preds"] = output["dir_preds_T"]
+        loss_t = self.det(out_t, target, suffix)["total_loss"]
+        pred, gt = output["pred_feature"], output["gt_feature"]
+        gen = jnp.mean((pred - gt) ** 2)
+        return {"loss_S": loss_s, "loss_T": loss_t, "gen_loss": gen,
+                "total_loss": loss_s + self.generate_weight * gen}
+
+
 @LOSSES.register("adapter_loss")
 class AdapterLoss:
     """STAMP adapter cycle-consistency loss (adapter_loss.py:14-50):

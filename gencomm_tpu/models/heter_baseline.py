@@ -89,6 +89,17 @@ class ModalityBranch(nn.Module):
                 if self.encode_only:
                     return canvas, depth_logits
                 return self._neck(canvas, train), depth_logits
+        elif self.core_method in ("voxelnet", "voxel_net"):
+            from gencomm_tpu.models.encoders.voxelnet import VoxelNetEncoder
+
+            enc = VoxelNetEncoder(
+                voxel_size=tuple(self.encoder_args["voxel_size"]),
+                lidar_range=tuple(self.encoder_args["lidar_range"]),
+                vfe_filters=tuple(
+                    self.encoder_args.get("vfe_filters", (32, 128))
+                ),
+                name="encoder",
+            )
         elif self.core_method == "second":
             from gencomm_tpu.models.encoders.second import SECONDEncoder
 
@@ -180,6 +191,10 @@ class HeterModel(nn.Module):
     use_stamp: bool = False
     ego_modality: str = "m1"
     stamp_args: Dict[str, Any] | None = None
+    # gradient-matching ablation (tools/train_gmatch.py): also fuse the
+    # ORIGINAL (non-generated) features through the same fusion+heads and
+    # emit *_T predictions
+    gmatch: bool = False
     supervise_single: bool = False
 
     @nn.compact
@@ -442,6 +457,14 @@ class HeterModel(nn.Module):
 
         fusion = build_fusion(self.fusion_method, self.fusion_args, name="fusion_net")
         fused = fusion(feature, affine, agent_mask, train)
+
+        if self.gmatch and self.use_gencomm:
+            # T path: original features through the SAME fusion + heads
+            gt_feat = out["gt_feature"].reshape(feature.shape)
+            fused_t = fusion(gt_feat, affine, agent_mask, train)
+            cls_t, reg_t, dir_t = heads(fused_t)
+            out.update(cls_preds_T=cls_t, reg_preds_T=reg_t,
+                       dir_preds_T=dir_t)
 
         cls_preds, reg_preds, dir_preds = heads(fused)
         out.update(cls_preds=cls_preds, reg_preds=reg_preds, dir_preds=dir_preds)

@@ -27,7 +27,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--dataset", default="opv2v",
-                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
+                        choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--frames", type=int, default=50)
     parser.add_argument("--pos_std", type=float, default=0.0)
     parser.add_argument("--rot_std", type=float, default=0.0)
@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--delay", type=int, default=0,
                         help="comm delay in ms (100 ms frames)")
     parser.add_argument("--infer_info", default=None)
+    parser.add_argument("--use_cav", type=int, default=0,
+                        help="cap the number of collaborating agents "
+                        "(dynamic in-order evaluation, "
+                        "inference_heter_in_order.py:34-57); 0 = all")
     parser.add_argument("--save_vis_interval", type=int, default=0,
                         help="dump a BEV png every N frames (0 = off; "
                         "reference inference.py:205-226)")
@@ -90,6 +94,16 @@ def main(argv=None):
             host = dataset.sample(1000 + f, 1)
         else:
             host = dataset.collate([dataset[f]])
+        if args.use_cav:
+            host = dict(host)
+            am = host["agent_mask"].copy()
+            am[:, args.use_cav:] = False
+            host["agent_mask"] = am
+            for k in list(host):
+                if k.startswith("modality_mask_"):
+                    mm = host[k].copy()
+                    mm[:, args.use_cav:] = False
+                    host[k] = mm
         batch = {k: jnp.asarray(v) for k, v in host.items()}
         dets = pipe.run(batch, seed=f)
         valid = np.asarray(dets.valid[0])

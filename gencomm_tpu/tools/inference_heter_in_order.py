@@ -1,8 +1,10 @@
-"""Communication-delay robustness sweep.
+"""Dynamic heterogeneous evaluation: agents join in order.
 
-Parity: opencood/tools/inference_w_delay.py:66-78 — evaluate at async
-overhead in {0, 100, ..., 500} ms; non-ego agents replay stale frames
-(quantized to 100 ms) while GT stays current.
+Parity: opencood/tools/inference_heter_in_order.py — evaluate the same
+model with an increasing number of collaborators (ego-only -> +1 -> ...),
+producing the AP-vs-agent-count curve. The reference's lidar-degrade flag
+maps to the heter lidar_channels_dict (OPV2V-H 32/16-beam swap in the
+loader).
 """
 
 from __future__ import annotations
@@ -18,19 +20,19 @@ def main(argv=None):
     parser.add_argument("--dataset", default="opv2v",
                         choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--frames", type=int, default=50)
-    parser.add_argument("--delays", default="0,100,200,300,400,500")
+    parser.add_argument("--max_cav", type=int, default=5)
     args = parser.parse_args(argv)
 
     results = {}
-    for delay in [int(x) for x in args.delays.split(",")]:
-        results[delay] = inference.main([
+    for k in range(1, args.max_cav + 1):
+        results[k] = inference.main([
             "--model_dir", args.model_dir,
             "--dataset", args.dataset,
             "--frames", str(args.frames),
-            "--delay", str(delay),
-            "--infer_info", f"delay_{delay}ms",
+            "--use_cav", str(k),
+            "--infer_info", f"in_order_{k}cav",
         ])
-    print("delay sweep keys:", sorted(results))
+    print("agents -> result keys:", sorted(results))
     return results
 
 

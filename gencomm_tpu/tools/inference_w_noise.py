@@ -17,7 +17,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--dataset", default="opv2v",
-                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
+                        choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--frames", type=int, default=50)
     parser.add_argument("--laplace", action="store_true")
     parser.add_argument("--levels", default="0,0.2,0.4,0.6")

@@ -59,7 +59,7 @@ def main(argv=None):
     parser.add_argument("--model_dir", default=None)
     parser.add_argument("--hypes_yaml", default=None)
     parser.add_argument("--dataset", default="synthetic",
-                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
+                        choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--iters", type=int, default=20)
     args = parser.parse_args(argv)
 

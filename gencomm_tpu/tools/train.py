@@ -39,6 +39,14 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
         from gencomm_tpu.data.dairv2x import DAIRV2XDataset
 
         return DAIRV2XDataset(hypes, train=train)
+    if dataset == "v2xsim":
+        from gencomm_tpu.data.v2xsim import V2XSimDataset
+
+        return V2XSimDataset(hypes, train=train)
+    if dataset == "v2xreal":
+        from gencomm_tpu.data.v2xreal import V2XRealDataset
+
+        return V2XRealDataset(hypes, train=train)
     # opv2v covers OPV2V / OPV2V-H / V2XSet (identical directory format,
     # v2xset_basedataset.py:1-28 is a trivial subclass in the reference)
     from gencomm_tpu.data.opv2v import OPV2VDataset
@@ -64,7 +72,7 @@ def main(argv=None):
     parser.add_argument("--hypes_yaml", "-y", required=True)
     parser.add_argument("--model_dir", default=None)
     parser.add_argument("--dataset", default="opv2v",
-                        choices=["opv2v", "v2xset", "dairv2x", "synthetic"])
+                        choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps_per_epoch", type=int, default=50)
     parser.add_argument("--freeze_prefixes", default="",

@@ -228,6 +228,85 @@ def make_train_step(model, criterion, tx,
     return jax.jit(train_step)
 
 
+def make_kd_train_step(student, teacher, teacher_vars, criterion, tx,
+                       feature_key: str = "gt_feature"):
+    """DiscoNet knowledge distillation (tools/train_w_kd.py): the frozen
+    teacher's features are injected into the student's outputs for the
+    KD criterion (point_pillar_disconet_loss)."""
+
+    def train_step(state: TrainState, batch, rng):
+        rngs = {"diffusion": jax.random.fold_in(rng, 0),
+                "dropout": jax.random.fold_in(rng, 1)}
+        t_out = teacher.apply(teacher_vars, batch, train=False, rngs=rngs)
+        teacher_feature = jax.lax.stop_gradient(t_out[feature_key])
+
+        def loss_fn(params):
+            out, mutated = student.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            out = dict(out)
+            out["teacher_feature"] = teacher_feature
+            out["student_feature"] = out[feature_key]
+            losses = criterion(out, batch)
+            return losses["total_loss"], (losses, mutated["batch_stats"])
+
+        grads, (losses, new_stats) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats, opt_state=new_opt,
+        ), losses
+
+    return jax.jit(train_step)
+
+
+def make_gmatch_train_step(model, criterion, tx, gen_weight: float = 1.0):
+    """GenComm gradient-matching ablation (tools/train_gmatch.py:150-160):
+    final = loss_S + sum MSE(grad loss_S, grad loss_T) + w * gen_loss,
+    differentiated end-to-end (second-order via jax.grad-of-grad)."""
+
+    def train_step(state: TrainState, batch, rng):
+        rngs = {"diffusion": jax.random.fold_in(rng, 0),
+                "dropout": jax.random.fold_in(rng, 1)}
+
+        def losses_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            return criterion(out, batch), mutated["batch_stats"]
+
+        def final_loss(params):
+            losses, stats = losses_of(params)
+            g_s = jax.grad(lambda p: losses_of(p)[0]["loss_S"])(params)
+            g_t = jax.grad(lambda p: losses_of(p)[0]["loss_T"])(params)
+            gm = sum(
+                jnp.mean((a - b) ** 2)
+                for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                                jax.tree_util.tree_leaves(g_t))
+            )
+            total = (losses["loss_S"] + gm
+                     + gen_weight * losses["gen_loss"])
+            losses = dict(losses, grad_match_loss=gm, total_loss=total)
+            return total, (losses, stats)
+
+        grads, (losses, new_stats) = jax.grad(
+            final_loss, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats, opt_state=new_opt,
+        ), losses
+
+    return jax.jit(train_step)
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh) -> Dict[str, jax.Array]:
     """Place a host batch onto the mesh, sharded along the leading (batch)
     axis of every array."""

@@ -153,3 +153,21 @@ def eval_final_results(result_stat: dict, global_sort_detections: bool = False):
         "ap50": calculate_ap(result_stat, 0.5, global_sort_detections),
         "ap70": calculate_ap(result_stat, 0.7, global_sort_detections),
     }
+
+
+def new_multiclass_stat(class_names, iou_thresholds=(0.3, 0.5, 0.7)):
+    """Per-class accumulators (reference eval_utils.py:349-383 v2xreal
+    multiclass mAP)."""
+    return {c: new_result_stat(iou_thresholds) for c in class_names}
+
+
+def eval_multiclass_results(stats: dict,
+                            global_sort_detections: bool = False):
+    """Per-class AP + mAP across classes."""
+    out = {}
+    for cls, stat in stats.items():
+        out[cls] = eval_final_results(stat, global_sort_detections)
+    for t in ("ap30", "ap50", "ap70"):
+        vals = [out[c][t] for c in stats]
+        out[f"m{t}"] = float(np.mean(vals)) if vals else 0.0
+    return out

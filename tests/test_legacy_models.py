@@ -1,0 +1,127 @@
+"""Legacy model families: VoxelNet, PIXOR, CenterPoint."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gencomm_tpu.data.synthetic import SyntheticScenes
+from tests.test_model_forward import TINY, MODALITY_ARGS
+
+
+@pytest.fixture(scope="module")
+def batch():
+    scenes = SyntheticScenes(TINY)
+    host = scenes.sample(seed=31, batch_size=1)
+    return {k: jnp.asarray(v) for k, v in host.items()}
+
+
+def test_voxelnet_encoder_in_branch(batch):
+    from gencomm_tpu.models.heter_baseline import HeterModel
+
+    margs = {
+        "core_method": "voxelnet",
+        "encoder_args": {
+            "voxel_size": [0.4, 0.4, 1.0],
+            "lidar_range": list(TINY.lidar_range),
+            "vfe_filters": [16, 32],
+        },
+        "backbone_args": {
+            "layer_nums": [1, 1], "layer_strides": [1, 2],
+            "num_filters": [32, 48], "upsample_strides": [1, 2],
+            "num_upsample_filter": [32, 32],
+        },
+        "shrink_header": {"kernal_size": [3], "stride": [2],
+                          "padding": [1], "dim": [64]},
+    }
+    model = HeterModel(
+        modality_args={"m1": margs},
+        fusion_method="max",
+        fusion_args={},
+        lidar_range=TINY.lidar_range,
+        anchor_number=2, in_head=64,
+    )
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out = model.apply(v, batch, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_pixor_model_and_loss(batch):
+    from gencomm_tpu.models.encoders.pixor import PIXORModel, PixorLoss
+
+    model = PIXORModel(
+        voxel_size=(0.4, 0.4, 0.5),
+        lidar_range=TINY.lidar_range,
+    )
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out = model.apply(v, batch, train=False)
+    assert out["cls_preds"].shape[-1] == 1
+    assert out["reg_preds"].shape[-1] == 6
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+    crit = PixorLoss({"lidar_range": list(TINY.lidar_range),
+                      "cell": 0.4 * 8})
+    losses = crit(out, {k: batch[k] for k in ("gt_boxes", "gt_mask")})
+    assert np.isfinite(float(losses["total_loss"]))
+    assert float(losses["total_loss"]) > 0
+
+
+def test_pixor_raster_and_decode():
+    from gencomm_tpu.models.encoders.pixor import rasterize_bev, decode_pixor
+
+    pts = jnp.zeros((1, 1, 4, 4)).at[0, 0, :, :3].set(
+        jnp.asarray([[0.2, 0.2, -1.0], [0.2, 0.25, 0.5],
+                     [-3.0, 2.0, -2.0], [99.0, 0.0, 0.0]])
+    ).at[0, 0, :, 3].set(jnp.asarray([0.5, 1.0, 0.2, 0.9]))
+    mask = jnp.ones((1, 1, 4), bool)
+    bev = rasterize_bev(pts, mask, (-8.0, -4.0, -3.0, 8.0, 4.0, 1.0),
+                        (0.4, 0.4, 1.0))
+    assert bev.shape == (1, 1, 20, 40, 5)
+    # two z slices occupied at the same xy cell
+    iy, ix = 10, 20
+    assert float(bev[0, 0, iy, ix, 2]) == 1.0  # z=-1 -> slice 2
+    assert float(bev[0, 0, iy, ix, 3]) == 1.0  # z=0.5 -> slice 3
+    assert abs(float(bev[0, 0, iy, ix, 4]) - 0.75) < 1e-5  # mean intensity
+
+    cls_map = jnp.full((8, 16, 1), -10.0).at[3, 5, 0].set(4.0)
+    reg_map = jnp.zeros((8, 16, 6)).at[3, 5].set(
+        jnp.asarray([1.0, 0.0, 0.1, -0.1, np.log(1.8), np.log(4.2)])
+    )
+    boxes, scores, valid = decode_pixor(
+        cls_map, reg_map, (-8.0, -4.0, -3.0, 8.0, 4.0, 1.0), 1.0,
+        topk=4,
+    )
+    assert bool(valid[0])
+    np.testing.assert_allclose(np.asarray(boxes[0]),
+                               [-8 + 5.5 + 0.1, -4 + 3.5 - 0.1, 0.0,
+                                1.8, 4.2], atol=1e-5)
+
+
+def test_center_point_model_and_loss(batch):
+    from gencomm_tpu.models.center_point import (
+        CenterPointModel, CenterPointLoss, gaussian_focal_loss,
+    )
+
+    model = CenterPointModel(
+        modality_args={"m1": MODALITY_ARGS["m1"]},
+        lidar_range=TINY.lidar_range,
+        out_size_factor=8,
+        voxel_size=(0.4, 0.4, 4.0),
+    )
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out = model.apply(v, batch, train=False)
+    assert out["cls_preds"].shape[-1] == 1
+    assert out["reg_preds"].shape[-1] == 7
+    # heatmap bias init -> near-zero initial probabilities
+    assert float(jax.nn.sigmoid(out["cls_preds"]).mean()) < 0.1
+
+    crit = CenterPointLoss({"lidar_range": list(TINY.lidar_range),
+                            "voxel_size": (0.4, 0.4, 4.0),
+                            "out_size_factor": 8})
+    losses = crit(out, {k: batch[k] for k in ("gt_boxes", "gt_mask")})
+    assert np.isfinite(float(losses["total_loss"]))
+
+    # focal loss: zero where prediction matches an exact-1 target
+    t = jnp.zeros((4, 4)).at[1, 1].set(1.0)
+    logits = jnp.full((4, 4), -20.0).at[1, 1].set(20.0)
+    assert float(gaussian_focal_loss(logits, t).sum()) < 1e-3
