@@ -55,7 +55,22 @@ def load_yaml(file: str, model_dir: str | None = None) -> dict:
         param = yaml.load(f, Loader=loader)
 
     if "yaml_parser" in param:
-        param = YAML_PARSERS.get(param["yaml_parser"])(param)
+        parsers = param["yaml_parser"]
+        if isinstance(parsers, str):
+            parsers = [parsers]
+        for p in parsers:
+            param = YAML_PARSERS.get(p)(param)
+    elif "yaml_parsers" in param:
+        # STAMP variant (yaml_utils_stamp.py:83-97): each modality_setting
+        # carries its own lidar range / preprocess block and is derived by
+        # its own named parser (per-modality anchor grids)
+        for mname, parser_names in param["yaml_parsers"].items():
+            if isinstance(parser_names, str):
+                parser_names = [parser_names]
+            setting = param["heter"]["modality_setting"][mname]
+            for p in parser_names:
+                setting = YAML_PARSERS.get(p)(setting)
+            param["heter"]["modality_setting"][mname] = setting
     return param
 
 

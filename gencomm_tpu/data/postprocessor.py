@@ -149,7 +149,12 @@ def delta_to_boxes3d(deltas, anchors):
     diag = jnp.sqrt(a[:, 4] ** 2 + a[:, 5] ** 2)
     xy = d[..., 0:2] * diag[..., :, None] + a[..., 0:2]
     z = d[..., 2:3] * a[..., 3:4] + a[..., 2:3]
-    hwl = jnp.exp(d[..., 3:6]) * a[..., 3:6]
+    # clip the log-dim residuals: an untrained head can emit values whose
+    # exp overflows to inf, which then poisons downstream IoU/NMS math even
+    # in masked slots (0 * inf = NaN). e^10 ~ 22k x anchor dim is already
+    # far outside remove_large_pred_bbx's keep range, so this changes no
+    # surviving detection.
+    hwl = jnp.exp(jnp.clip(d[..., 3:6], -10.0, 10.0)) * a[..., 3:6]
     yaw = d[..., 6:7] + a[..., 6:7]
     return jnp.concatenate([xy, z, hwl, yaw], axis=-1)
 

@@ -3,6 +3,8 @@ here explicit imports)."""
 
 from gencomm_tpu.loss import point_pillar_loss as _pp  # noqa: F401
 from gencomm_tpu.loss import pyramid_loss as _pyr  # noqa: F401
+from gencomm_tpu.loss import ciassd_loss as _ci  # noqa: F401
+from gencomm_tpu.loss import legacy_losses as _ll  # noqa: F401
 from gencomm_tpu.models import center_point as _cp  # noqa: F401
 from gencomm_tpu.models.encoders import pixor as _px  # noqa: F401
 
@@ -12,11 +14,27 @@ from gencomm_tpu.registry import LOSSES
 def create_loss(hypes: dict):
     """Build the criterion named by ``loss.core_method``
     (train_utils.py:291-324). Injects the pyramid mode tag from the model
-    core_method (the reference tags it in the model's output_dict)."""
+    core_method (the reference tags it in the model's output_dict), and the
+    anchor grid for IoU-rescore losses (the reference reads it from
+    output_dict['anchor_box'])."""
     args = dict(hypes["loss"]["args"])
     core = hypes.get("model", {}).get("core_method", "").lower()
     if "pyramid" in args and isinstance(args["pyramid"], dict):
         mode = "collab" if "collab" in core else "single"
         args["pyramid"] = dict(args["pyramid"])
         args["pyramid"].setdefault("mode", mode)
+    # losses that decode boxes on a metric grid (center_point, pixor) need
+    # the lidar range; the reference reads it from the model output_dict
+    mr = hypes.get("model", {}).get("args", {}).get("lidar_range")
+    if mr is not None:
+        args.setdefault("lidar_range", mr)
+    needs_anchors = "iou" in args or "stage1" in args
+    if needs_anchors and "_anchors" not in args \
+            and "anchor_args" in hypes.get("postprocess", {}):
+        from gencomm_tpu.data.postprocessor import generate_anchor_box
+
+        anchors = generate_anchor_box(hypes["postprocess"]["anchor_args"])
+        args["_anchors"] = anchors
+        if isinstance(args.get("stage1"), dict):
+            args["stage1"] = dict(args["stage1"], _anchors=anchors)
     return LOSSES.get(hypes["loss"]["core_method"])(args)

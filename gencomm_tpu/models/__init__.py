@@ -7,6 +7,57 @@ from __future__ import annotations
 def create_model(hypes: dict):
     core = hypes["model"]["core_method"].lower()
     args = hypes["model"]["args"]
+    if core in ("ciassd", "second_ssfa", "second_ssfa_uncertainty"):
+        from gencomm_tpu.models.ciassd import CIASSDModel
+
+        head = args.get("head", {})
+        return CIASSDModel(
+            voxel_size=tuple(args["voxel_size"]),
+            lidar_range=tuple(args["lidar_range"]),
+            anchor_num=head.get("num_cls", args.get("anchor_num", 2)),
+            use_dir=head.get("use_dir", True),
+            dir_bins=max(head.get("num_dir", 2), 2),
+            max_voxels=args.get("max_voxels", 32000),
+            shrink_args=args.get("shrink_header"),
+            use_unc="uncertainty" in core,
+            uncertainty_dim=args.get("uncertainty_dim", 3),
+        )
+    if core in ("second", "second_intermediate"):
+        from gencomm_tpu.models.ciassd import SecondModel
+
+        return SecondModel(
+            voxel_size=tuple(args["voxel_size"]),
+            lidar_range=tuple(args["lidar_range"]),
+            backbone_args=args["base_bev_backbone"],
+            anchor_num=args.get("anchor_number", args.get("anchor_num", 2)),
+            max_voxels=args.get("max_voxels", 32000),
+            intermediate="intermediate" in core,
+        )
+    if core == "point_pillar_uncertainty":
+        from gencomm_tpu.models.uncertainty import PointPillarUncertainty
+
+        return PointPillarUncertainty(
+            modality_args={"m1": {
+                "encoder_args": {
+                    "voxel_size": args["voxel_size"],
+                    "lidar_range": args["lidar_range"],
+                    "pillar_vfe": args["pillar_vfe"],
+                },
+                "backbone_args": args["base_bev_backbone"],
+                "shrink_header": args.get(
+                    "shrink_header",
+                    {"dim": [128 * 3], "kernal_size": [1], "stride": [1]},
+                ),
+            }},
+            lidar_range=tuple(args["lidar_range"]),
+            anchor_num=args.get("anchor_num", args.get("anchor_number", 2)),
+            uncertainty_dim=args.get("uncertainty_dim", 3),
+            dir_bins=args.get("dir_args", {}).get("num_bins", 0),
+        )
+    if core == "fpvrcnn":
+        from gencomm_tpu.models.fpvrcnn import build_fpvrcnn
+
+        return build_fpvrcnn(hypes)
     if "pyramid" in core:
         from gencomm_tpu.models.heter_pyramid import build_pyramid_model
 

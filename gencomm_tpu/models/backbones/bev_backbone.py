@@ -60,7 +60,11 @@ class BEVBackbone(nn.Module):
                     )(x, train)
             ups.append(x)
         if len(ups) > 1:
-            return jnp.concatenate(ups, axis=-1)
+            # odd input dims round up under strided downsampling, so the
+            # re-upsampled maps can overshoot by a row/col — crop to match
+            h = min(u.shape[1] for u in ups)
+            w = min(u.shape[2] for u in ups)
+            return jnp.concatenate([u[:, :h, :w] for u in ups], axis=-1)
         return ups[0]
 
     @staticmethod

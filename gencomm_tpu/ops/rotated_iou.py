@@ -231,3 +231,64 @@ def quad_iou_elementwise(qa, qb):
     inter = quad_intersection_area(qa, qb)
     union = quad_area(qa) + quad_area(qb) - inter
     return jnp.where(union > _EPS, inter / jnp.where(union > _EPS, union, 1.0), 0.0)
+
+
+def _boxes7_to_quads_z(boxes, order: str):
+    """(N, 7) boxes -> bottom-face quads (N, 4, 2) + z intervals (N, 2)."""
+    from gencomm_tpu.utils.box_utils import boxes_to_corners2d
+
+    quads = boxes_to_corners2d(boxes, order)
+    if order == "hwl":
+        h = boxes[:, 3]
+    else:
+        h = boxes[:, 5]
+    z0 = boxes[:, 2] - h / 2.0
+    z1 = boxes[:, 2] + h / 2.0
+    return quads, jnp.stack([z0, z1], axis=-1)
+
+
+def boxes_iou3d(boxes_a, boxes_b, order: str = "lwh", row_chunk: int = 256):
+    """Pairwise rotated 3D IoU, (N, 7) x (M, 7) -> (N, M).
+
+    TPU-native replacement for pcdet_utils/iou3d_nms ``boxes_iou3d_gpu``
+    (reference: opencood/pcdet_utils/iou3d_nms/iou3d_nms.cpp): BEV polygon
+    intersection (Sutherland-Hodgman, static buffers) times z-overlap.
+    """
+    qa, za = _boxes7_to_quads_z(jnp.asarray(boxes_a), order)
+    qb, zb = _boxes7_to_quads_z(jnp.asarray(boxes_b), order)
+    inter_bev = quad_iou_pairwise(qa, qb, row_chunk)  # IoU, need raw inter
+    # recompute raw intersection area from IoU to avoid a second clip pass:
+    # iou = I / (Aa + Ab - I)  =>  I = iou * (Aa + Ab) / (1 + iou)
+    area_a, area_b = quad_area(qa), quad_area(qb)
+    s = area_a[:, None] + area_b[None, :]
+    inter_area = inter_bev * s / (1.0 + inter_bev)
+    zov = jnp.clip(
+        jnp.minimum(za[:, None, 1], zb[None, :, 1])
+        - jnp.maximum(za[:, None, 0], zb[None, :, 0]),
+        0.0, None,
+    )
+    inter3d = inter_area * zov
+    vol_a = area_a * (za[:, 1] - za[:, 0])
+    vol_b = area_b * (zb[:, 1] - zb[:, 0])
+    union = vol_a[:, None] + vol_b[None, :] - inter3d
+    return jnp.where(union > _EPS, inter3d / jnp.where(union > _EPS, union, 1.0), 0.0)
+
+
+def boxes_iou3d_elementwise(boxes_a, boxes_b, order: str = "lwh"):
+    """Aligned (elementwise) rotated 3D IoU, (N, 7) x (N, 7) -> (N,).
+
+    Replacement for ``aligned_boxes_iou3d_gpu`` (used by the IoU-rescore
+    losses, reference: opencood/loss/ciassd_loss.py:92-96).
+    """
+    qa, za = _boxes7_to_quads_z(jnp.asarray(boxes_a), order)
+    qb, zb = _boxes7_to_quads_z(jnp.asarray(boxes_b), order)
+    inter_bev = quad_intersection_area(qa, qb)
+    zov = jnp.clip(
+        jnp.minimum(za[:, 1], zb[:, 1]) - jnp.maximum(za[:, 0], zb[:, 0]),
+        0.0, None,
+    )
+    inter3d = inter_bev * zov
+    vol_a = quad_area(qa) * (za[:, 1] - za[:, 0])
+    vol_b = quad_area(qb) * (zb[:, 1] - zb[:, 0])
+    union = vol_a + vol_b - inter3d
+    return jnp.where(union > _EPS, inter3d / jnp.where(union > _EPS, union, 1.0), 0.0)

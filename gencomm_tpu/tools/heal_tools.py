@@ -56,6 +56,79 @@ def best(args):
     print(path or "no checkpoints found")
 
 
+def _save(out_dir, params, stats, step=0):
+    import orbax.checkpoint as ocp
+
+    os.makedirs(out_dir, exist_ok=True)
+    target = os.path.join(os.path.abspath(out_dir), f"step_{step}")
+    ocp.PyTreeCheckpointer().save(
+        target, {"params": params, "batch_stats": stats, "step": step},
+        force=True,
+    )
+    return target
+
+
+def _map_keys(tree: dict, fn, prefix=()):
+    """Apply fn(path_tuple) -> new_top_key|None over a nested param dict's
+    TOP-level module names (the unit the reference's stamp_tools renames)."""
+    out = {}
+    for k, v in tree.items():
+        nk = fn(k)
+        if nk is None:
+            continue
+        out[nk] = v
+    return out
+
+
+def rename(args):
+    """Rename top-level modules via old=new pairs
+    (stamp_tools.rename_to_new_version:39-57 analog)."""
+    ck = checkpoint.load_checkpoint(
+        checkpoint.latest_checkpoint(args.ckpt) or args.ckpt
+    )
+    mapping = dict(pair.split("=", 1) for pair in args.map)
+
+    def fn(k):
+        return mapping.get(k, k)
+
+    params = _map_keys(ck["params"], fn)
+    stats = _map_keys(ck.get("batch_stats", {}), fn)
+    print("renamed:", mapping)
+    print("written to", _save(args.out, params, stats))
+
+
+def remove(args):
+    """Drop modules by prefix (stamp_tools.remove_m4_trunk:59-77 analog)."""
+    ck = checkpoint.load_checkpoint(
+        checkpoint.latest_checkpoint(args.ckpt) or args.ckpt
+    )
+
+    def fn(k):
+        return None if any(k.startswith(p) for p in args.prefix) else k
+
+    params = _map_keys(ck["params"], fn)
+    stats = _map_keys(ck.get("batch_stats", {}), fn)
+    dropped = sorted(set(ck["params"]) - set(params))
+    print("dropped modules:", dropped)
+    print("written to", _save(args.out, params, stats))
+
+
+def merge_final(args):
+    """Union-merge several aligned model dirs, later dirs win on conflicts
+    (stamp_tools.merge_and_save_final:269+ analog)."""
+    merged_p, merged_s = {}, {}
+    for d in args.ckpts:
+        ck = checkpoint.load_checkpoint(
+            checkpoint.latest_checkpoint(d) or d
+        )
+        merged_p = checkpoint.merge_params(merged_p, ck["params"],
+                                           prefer="new")
+        merged_s = checkpoint.merge_params(
+            merged_s, ck.get("batch_stats", {}), prefer="new", verbose=False
+        )
+    print("written to", _save(args.out, merged_p, merged_s))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -70,11 +143,21 @@ def main(argv=None):
                         "of the collab base's")
     b = sub.add_parser("best")
     b.add_argument("--model_dir", required=True)
+    r = sub.add_parser("rename")
+    r.add_argument("--ckpt", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--map", nargs="+", required=True,
+                   help="old=new module-name pairs")
+    rm = sub.add_parser("remove")
+    rm.add_argument("--ckpt", required=True)
+    rm.add_argument("--out", required=True)
+    rm.add_argument("--prefix", nargs="+", required=True)
+    mf = sub.add_parser("merge-final")
+    mf.add_argument("--ckpts", nargs="+", required=True)
+    mf.add_argument("--out", required=True)
     args = parser.parse_args(argv)
-    if args.cmd == "merge":
-        merge(args)
-    else:
-        best(args)
+    {"merge": merge, "best": best, "rename": rename, "remove": remove,
+     "merge-final": merge_final}[args.cmd](args)
 
 
 if __name__ == "__main__":
