@@ -61,6 +61,10 @@ def main(argv=None):
     parser.add_argument("--dataset", default="synthetic",
                         choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--train", action="store_true",
+                        help="also profile the TRAINING step: throughput + "
+                             "peak device memory "
+                             "(tools/profiler/traintp_calc.py:24-60 parity)")
     args = parser.parse_args(argv)
 
     from gencomm_tpu.config.yaml_utils import load_yaml
@@ -100,7 +104,42 @@ def main(argv=None):
     print(f"forward: compile {lat['compile_s']:.1f}s, "
           f"{lat['latency_ms']:.2f} ms/frame, "
           f"{lat['throughput_fps']:.1f} fps")
-    return {"params": n_params, "flops": fl, **lat}
+    result = {"params": n_params, "flops": fl, **lat}
+
+    if args.train:
+        from gencomm_tpu.loss import create_loss
+
+        criterion = create_loss(hypes)
+        tx = trainer.make_optimizer(hypes)
+        state = trainer.create_train_state(
+            model, host, jax.random.PRNGKey(0), tx
+        )
+        step = trainer.make_train_step(model, criterion, tx)
+        # thread the state through the loop: the axon backend dedupes
+        # executions with identical input buffers, which would otherwise
+        # report near-zero step time
+        t0 = time.perf_counter()
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(state.params)
+        compile_s = time.perf_counter() - t0
+        iters = max(args.iters // 2, 3)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, _ = step(state, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(state.params)
+        per = (time.perf_counter() - t0) / iters
+        tlat = {"compile_s": compile_s, "latency_ms": per * 1e3,
+                "throughput_fps": 1.0 / per}
+        print(f"train step: compile {tlat['compile_s']:.1f}s, "
+              f"{tlat['latency_ms']:.2f} ms/step, "
+              f"{tlat['throughput_fps']:.1f} steps/s")
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"peak device memory: {peak / 2**20:.0f} MiB")
+        result.update(train_ms=tlat["latency_ms"], peak_bytes=peak)
+
+    return result
 
 
 if __name__ == "__main__":

@@ -166,3 +166,23 @@ def test_stamp_yaml_parsers_per_modality(tmp_path):
     m1 = out["heter"]["modality_setting"]["m1"]["postprocess"]["anchor_args"]
     m2 = out["heter"]["modality_setting"]["m2"]["postprocess"]["anchor_args"]
     assert m1["W"] == 40 and m2["W"] == 80  # per-modality grids differ
+
+
+def test_keypoint_utils_bev_sample():
+    from gencomm_tpu.utils.keypoint_utils import (
+        project_bev, bev_sample, mask_points_by_range,
+    )
+
+    rng = np.random.default_rng(0)
+    # a "wall" of points along a line (structural) + sparse noise
+    wall = np.c_[np.linspace(-5, 5, 300), np.full(300, 2.0),
+                 rng.uniform(-1, 0, 300), np.ones(300)]
+    noise = np.c_[rng.uniform(-8, 8, (50, 2)), rng.uniform(-1, 0, 50),
+                  np.ones(50)]
+    pts = np.r_[wall, noise].astype(np.float32)
+    rng_lim = [-10, -10, -3, 10, 10, 1]
+    img, rows, cols = project_bev(pts, rng_lim, 0.2)
+    assert img.shape == (100, 100) and img.max() == 255
+    kp = bev_sample(pts, rng_lim, 64)
+    assert len(kp) == 64
+    assert len(mask_points_by_range(pts, rng_lim)) == len(pts)
