@@ -81,6 +81,12 @@ def main():
     rng = jax.random.PRNGKey(0)
     from gencomm_tpu.train.trainer import cpu_init
     from gencomm_tpu.native import PillarVoxelizer
+    from gencomm_tpu.data.bucketing import trim_agent_slots
+
+    # agent-slot bucketing: this frame has 2 CAVs; don't pay the encoder/
+    # backbone for 3 empty padded slots (one compile per bucket, shapes
+    # stay static — see data/bucketing.py)
+    host = trim_agent_slots(host, buckets=(2, 3, 5))
 
     # host-side C++ pillar decoration (gencomm_tpu/native) — the loader's
     # role, overlapped with device compute below

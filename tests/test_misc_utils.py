@@ -186,3 +186,19 @@ def test_keypoint_utils_bev_sample():
     kp = bev_sample(pts, rng_lim, 64)
     assert len(kp) == 64
     assert len(mask_points_by_range(pts, rng_lim)) == len(pts)
+
+
+def test_trim_agent_slots_bucketing():
+    from gencomm_tpu.data.bucketing import trim_agent_slots
+
+    scenes = SyntheticScenes(TINY)  # max_cav=3, 2 real agents
+    batch = scenes.sample(0, batch_size=2)
+    out = trim_agent_slots(batch, buckets=(2, 3))
+    assert out["agent_mask"].shape == (2, 2)
+    assert out["points_m1"].shape[1] == 2
+    assert out["pairwise_t_matrix"].shape[1:3] == (2, 2)
+    # no valid agents dropped
+    assert out["agent_mask"].sum() == batch["agent_mask"].sum()
+    # bucket never exceeds original L; identity when nothing to trim
+    same = trim_agent_slots(out, buckets=(2, 3))
+    assert same["points_m1"].shape == out["points_m1"].shape
