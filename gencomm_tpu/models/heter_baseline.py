@@ -196,6 +196,9 @@ class HeterModel(nn.Module):
     # emit *_T predictions
     gmatch: bool = False
     supervise_single: bool = False
+    # STAMP multi-task: BEV segmentation head on the fused feature
+    # (sub_modules/bev_seg_head.py via tools/inference_heter_task.py)
+    seg_head_target: str | None = None
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False):
@@ -468,6 +471,13 @@ class HeterModel(nn.Module):
 
         cls_preds, reg_preds, dir_preds = heads(fused)
         out.update(cls_preds=cls_preds, reg_preds=reg_preds, dir_preds=dir_preds)
+
+        if self.seg_head_target:
+            from gencomm_tpu.models.seg_head import BevSegHead
+
+            out.update(BevSegHead(
+                target=self.seg_head_target, name="seg_head",
+            )(fused))
         return out
 
 
@@ -540,4 +550,6 @@ def build_model(hypes: dict) -> HeterModel:
             for m, v in modality_args.items()
         } if "stamp" in core else None,
         supervise_single=args.get("supervise_single", False),
+        seg_head_target=args.get("seg_head_args", {}).get("target")
+        if "seg_head_args" in args else None,
     )

@@ -202,3 +202,30 @@ def test_trim_agent_slots_bucketing():
     # bucket never exceeds original L; identity when nothing to trim
     same = trim_agent_slots(out, buckets=(2, 3))
     assert same["points_m1"].shape == out["points_m1"].shape
+
+
+def test_bev_seg_head_in_heter_model():
+    import jax
+    from tests.test_model_forward import MODALITY_ARGS
+    from gencomm_tpu.models.heter_baseline import HeterModel
+
+    scenes = SyntheticScenes(TINY)
+    batch = {k: jnp.asarray(v) for k, v in scenes.sample(0, 1).items()}
+    m = HeterModel(
+        modality_args=MODALITY_ARGS, fusion_method="att",
+        fusion_args={"att": {"feat_dim": 64}},
+        lidar_range=TINY.lidar_range, anchor_number=2,
+        seg_head_target="both",
+    )
+    out = m.apply(
+        m.init({"params": jax.random.PRNGKey(0)}, batch, False), batch, False
+    )
+    assert out["dynamic_seg"].shape[-1] == 2
+    assert out["static_seg"].shape[-1] == 3
+
+    from gencomm_tpu.models.seg_head import seg_loss
+    h, w = out["dynamic_seg"].shape[1:3]
+    gt_d = jnp.zeros((1, h, w), jnp.int32)
+    gt_s = jnp.ones((1, h, w), jnp.int32)
+    losses = seg_loss(out["dynamic_seg"], out["static_seg"], gt_d, gt_s)
+    assert np.isfinite(float(losses["total_loss"]))
