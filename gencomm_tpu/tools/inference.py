@@ -39,6 +39,11 @@ def main(argv=None):
                         help="cap the number of collaborating agents "
                         "(dynamic in-order evaluation, "
                         "inference_heter_in_order.py:34-57); 0 = all")
+    parser.add_argument("--report_comm", action="store_true",
+                        help="report communication volume: where2comm "
+                             "comm_rate and transmitted-payload CPM bytes "
+                             "(reference: comm_modules/where2comm.py rate "
+                             "accounting + draco_compression CPM sizing)")
     parser.add_argument("--save_vis_interval", type=int, default=0,
                         help="dump a BEV png every N frames (0 = off; "
                         "reference inference.py:205-226)")
@@ -127,6 +132,34 @@ def main(argv=None):
                 corners, gt, pts, hypes["postprocess"]["gt_range"],
                 os.path.join(vis_dir, f"bev_{f:05d}.png"),
             )
+
+    if args.report_comm:
+        # communication-volume accounting on the last frame: where2comm
+        # mask rate (if the model carries Communication) and the CPM byte
+        # size of what actually crosses the air — GenComm's 2-ch messages,
+        # else the fused BEV features
+        from gencomm_tpu.utils.misc_utils import cpm_size_bytes
+
+        out = model.apply(
+            variables, batch, train=False,
+            rngs={"diffusion": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(7)},
+        )
+        report = {}
+        if "comm_rate" in out:
+            report["comm_rate"] = float(np.asarray(out["comm_rate"]))
+        payload = out.get("message")
+        if payload is not None:
+            # non-ego agents transmit their message map
+            report["payload"] = "gencomm_message_2ch"
+            per_agent = np.asarray(payload)[0, 1:]
+        else:
+            report["payload"] = "bev_feature"
+            per_agent = np.asarray(out.get("gt_feature", dets.corners3d))
+        sizes = cpm_size_bytes(per_agent)
+        report["cpm_bytes_fp16_raw"] = sizes["raw_bytes"]
+        report["cpm_bytes_fp16_deflate"] = sizes["compressed_bytes"]
+        print("comm report:", report)
 
     for global_sort in (False, True):
         res = eval_utils.eval_final_results(stat, global_sort)

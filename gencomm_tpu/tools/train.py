@@ -17,6 +17,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from gencomm_tpu.config.yaml_utils import load_yaml, save_yaml
 from gencomm_tpu.models import create_model
@@ -129,6 +130,7 @@ def main(argv=None):
     first = next(batches(dataset, batch_size, 0, args.dataset))
     state = trainer.create_train_state(model, first, jax.random.PRNGKey(0), tx)
 
+    start_epoch = 0
     if args.init_from:
         restored = checkpoint.load_checkpoint(args.init_from)
         state = state.replace(
@@ -136,10 +138,27 @@ def main(argv=None):
                 jax.device_get(state.params), restored["params"]
             )
         )
+    else:
+        # auto-resume: pick up the latest checkpoint already in model_dir
+        # (reference train_utils.load_saved_model:168-216 finds the newest
+        # net_epoch*.pth and continues from its epoch)
+        latest = checkpoint.latest_checkpoint(model_dir)
+        if latest:
+            restored = checkpoint.load_checkpoint(latest)
+            state = state.replace(
+                params=checkpoint.load_into(
+                    jax.device_get(state.params), restored["params"]
+                ),
+                step=jnp.asarray(restored.get("step", 0), jnp.int32),
+            )
+            start_epoch = int(restored.get("step", 0)) // max(
+                args.steps_per_epoch, 1
+            )
+            print(f"resumed from {latest} (epoch {start_epoch})")
 
     step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred)
     epochs = args.epochs or hypes["train_params"]["epoches"]
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         gen = batches(dataset, batch_size, epoch, args.dataset)
         for it in range(args.steps_per_epoch):
             try:
