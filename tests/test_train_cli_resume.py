@@ -1,0 +1,94 @@
+"""Train CLI end-to-end: tiny config, checkpointing, auto-resume.
+
+Covers tools/train.py main() — config load, model/loss build via
+registries, freeze derivation, checkpoint save — and the auto-resume
+behavior (reference train_utils.load_saved_model:168-216: find the newest
+checkpoint in model_dir and continue from its epoch).
+"""
+
+import os
+
+import yaml
+import pytest
+
+
+TINY_HYPES = {
+    "name": "tiny_cli",
+    "yaml_parser": "load_general_params",
+    "train_params": {"batch_size": 1, "epoches": 1, "save_freq": 1,
+                     "max_cav": 2},
+    "input_source": ["lidar"],
+    "comm_range": 20,
+    "cav_lidar_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
+    "preprocess": {"core_method": "SpVoxelPreprocessor",
+                   "args": {"voxel_size": [0.4, 0.4, 4.0]},
+                   "cav_lidar_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0]},
+    "postprocess": {
+        "core_method": "VoxelPostprocessor",
+        "gt_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
+        "anchor_args": {"cav_lidar_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
+                        "l": 3.9, "w": 1.6, "h": 1.56, "r": [0, 90],
+                        "feature_stride": 8, "num": 2},
+        "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                        "score_threshold": 0.2},
+        "order": "hwl", "max_num": 16, "nms_thresh": 0.15,
+        "dir_args": {"dir_offset": 0.7853, "num_bins": 2,
+                     "anchor_yaw": [0, 90]},
+    },
+    "model": {"core_method": "heter_model_baseline", "args": {
+        "ego_modality": "m1",
+        "lidar_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
+        "m1": {
+            "core_method": "point_pillar", "sensor_type": "lidar",
+            "encoder_args": {
+                "voxel_size": [0.4, 0.4, 4.0],
+                "lidar_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
+                "pillar_vfe": {"use_norm": True, "num_filters": [32]},
+            },
+            "backbone_args": {"layer_nums": [1, 1], "layer_strides": [2, 2],
+                              "num_filters": [32, 64],
+                              "upsample_strides": [1, 2],
+                              "num_upsample_filter": [32, 32]},
+            "shrink_header": {"kernal_size": [3], "stride": [2],
+                              "padding": [1], "dim": [64], "input_dim": 64},
+        },
+        "fusion_method": "att", "att": {"feat_dim": 64},
+        "in_head": 64, "anchor_number": 2,
+        "dir_args": {"dir_offset": 0.7853, "num_bins": 2,
+                     "anchor_yaw": [0, 90]},
+    }},
+    "loss": {"core_method": "point_pillar_loss", "args": {
+        "pos_cls_weight": 2.0,
+        "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+        "reg": {"sigma": 3.0, "weight": 2.0},
+    }},
+    "optimizer": {"core_method": "Adam", "lr": 0.002,
+                  "args": {"eps": 1e-10, "weight_decay": 1e-4}},
+    "lr_scheduler": {"core_method": "constant"},
+}
+
+
+@pytest.mark.slow
+def test_train_cli_checkpoints_and_resumes(tmp_path, capsys):
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.train import checkpoint
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(TINY_HYPES))
+    model_dir = str(tmp_path / "run")
+
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "1",
+                    "--steps_per_epoch", "2"])
+    first = checkpoint.latest_checkpoint(model_dir)
+    assert first is not None
+    assert os.path.exists(os.path.join(model_dir, "config.yaml"))
+
+    # second invocation resumes from the saved epoch and trains one more
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "2",
+                    "--steps_per_epoch", "2"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    second = checkpoint.latest_checkpoint(model_dir)
+    assert second != first
