@@ -51,3 +51,26 @@ def trim_agent_slots(batch: Dict[str, np.ndarray],
         else:
             out[k] = v
     return out
+
+
+def ego_only_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Restrict a padded (B, L, ...) batch to the ego slot (L=1).
+
+    Late/no-fusion training treats each sample as ONE agent with labels in
+    its own frame (reference late_fusion_dataset.py: every CAV is its own
+    sample); ego-slot training is the static-shape equivalent — per-slot
+    models then see leading dim B*1 == B, matching the (B, ...) labels.
+    """
+    amask = np.asarray(batch["agent_mask"])
+    b, l = amask.shape
+    out = {}
+    for k, v in batch.items():
+        a = np.asarray(v)
+        if a.ndim >= 2 and a.shape[0] == b and a.shape[1] == l:
+            a = a[:, :1]
+            if a.ndim >= 3 and a.shape[2] == l and k == "pairwise_t_matrix":
+                a = a[:, :, :1]
+            out[k] = a
+        else:
+            out[k] = v
+    return out

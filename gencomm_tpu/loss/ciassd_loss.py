@@ -151,6 +151,9 @@ def kl_loss_angular(diff, s, lambda_v: float = 1.0, s0: float = 1.0,
     log_norm = jnp.log(jax.scipy.special.i0e(kappa)) + kappa
     cos_term = jnp.abs(jnp.cos(diff)) if use_limit_period else jnp.cos(diff)
     if use_limit_period:
+        # the reference also detaches |cos| in this mode
+        # (point_pillar_uncertainty_loss.py:256: `cos_abs.detach()`) — only
+        # the log-scale s trains through this branch, by design
         cos_term = jax.lax.stop_gradient(cos_term)
     return log_norm - kappa * cos_term + lambda_v * jax.nn.elu(s - s0)
 

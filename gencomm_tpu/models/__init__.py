@@ -11,12 +11,16 @@ def create_model(hypes: dict):
         from gencomm_tpu.models.ciassd import CIASSDModel
 
         head = args.get("head", {})
+        anchor_num = head.get("num_cls", args.get("anchor_num", 2))
+        # head.num_dir is the TOTAL dir channel count (anchors x bins,
+        # cia_ssd_utils.py Head conv_dir), not per-anchor bins
+        dir_bins = max(head.get("num_dir", 2 * anchor_num) // anchor_num, 2)
         return CIASSDModel(
             voxel_size=tuple(args["voxel_size"]),
             lidar_range=tuple(args["lidar_range"]),
-            anchor_num=head.get("num_cls", args.get("anchor_num", 2)),
+            anchor_num=anchor_num,
             use_dir=head.get("use_dir", True),
-            dir_bins=max(head.get("num_dir", 2), 2),
+            dir_bins=dir_bins,
             max_voxels=args.get("max_voxels", 32000),
             shrink_args=args.get("shrink_header"),
             use_unc="uncertainty" in core,

@@ -133,11 +133,11 @@ def main(argv=None):
                 os.path.join(vis_dir, f"bev_{f:05d}.png"),
             )
 
-    if args.report_comm:
+    if args.report_comm and n > 0:
         # communication-volume accounting on the last frame: where2comm
         # mask rate (if the model carries Communication) and the CPM byte
         # size of what actually crosses the air — GenComm's 2-ch messages,
-        # else the fused BEV features
+        # else the fused BEV features. Only VALID non-ego agents transmit.
         from gencomm_tpu.utils.misc_utils import cpm_size_bytes
 
         out = model.apply(
@@ -148,14 +148,21 @@ def main(argv=None):
         report = {}
         if "comm_rate" in out:
             report["comm_rate"] = float(np.asarray(out["comm_rate"]))
+        amask = np.asarray(batch["agent_mask"])[0] > 0
+        senders = np.nonzero(amask[1:])[0] + 1  # valid non-ego slots
         payload = out.get("message")
         if payload is not None:
-            # non-ego agents transmit their message map
             report["payload"] = "gencomm_message_2ch"
-            per_agent = np.asarray(payload)[0, 1:]
+            per_agent = np.asarray(payload)[0, senders]
         else:
             report["payload"] = "bev_feature"
-            per_agent = np.asarray(out.get("gt_feature", dets.corners3d))
+            feat = out.get("gt_feature")
+            if feat is not None:
+                per_agent = np.asarray(feat).reshape(
+                    (amask.shape[0], -1))[senders]
+            else:
+                per_agent = np.zeros((len(senders), 0), np.float16)
+        report["n_senders"] = int(len(senders))
         sizes = cpm_size_bytes(per_agent)
         report["cpm_bytes_fp16_raw"] = sizes["raw_bytes"]
         report["cpm_bytes_fp16_deflate"] = sizes["compressed_bytes"]

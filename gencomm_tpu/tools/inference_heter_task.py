@@ -4,8 +4,9 @@ Parity: opencood/tools/inference_heter_task.py — STAMP's task-agnostic
 evaluation, reporting detection AP and segmentation mean_IU
 (opencood/utils/seg_iou.py) for models that carry a BevSegHead.
 
-Works against the synthetic scene generator out of the box; dataset modes
-reuse the standard loaders.
+With --hypes_yaml/--model_dir the model comes from the config (plus its
+latest checkpoint); otherwise a small built-in synthetic setup runs, so the
+tool is usable without a dataset on disk.
 """
 
 from __future__ import annotations
@@ -18,52 +19,94 @@ import jax
 import jax.numpy as jnp
 
 
+def _builtin_setup():
+    """Small synthetic model+scene (no config needed)."""
+    from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+    from gencomm_tpu.models.heter_baseline import HeterModel
+
+    cfg = SyntheticConfig(
+        lidar_range=(-16.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+        max_cav=3, num_agents=2, points_per_agent=2048,
+        num_vehicles=3, points_per_vehicle=200, comm_range=10.0,
+    )
+    scenes = SyntheticScenes(cfg)
+    model = HeterModel(
+        modality_args={"m1": {
+            "encoder_args": {"voxel_size": [0.4, 0.4, 4.0],
+                             "lidar_range": list(cfg.lidar_range),
+                             "pillar_vfe": {"use_norm": True,
+                                            "num_filters": [32]}},
+            "backbone_args": {"layer_nums": [2, 2], "layer_strides": [2, 2],
+                              "num_filters": [32, 64],
+                              "upsample_strides": [1, 2],
+                              "num_upsample_filter": [32, 32]},
+            "shrink_header": {"kernal_size": [3], "stride": [2],
+                              "padding": [1], "dim": [64], "input_dim": 64},
+        }},
+        fusion_method="att", fusion_args={"att": {"feat_dim": 64}},
+        lidar_range=cfg.lidar_range, anchor_number=2,
+        seg_head_target="both",
+    )
+    return scenes, model, cfg.lidar_range
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--hypes_yaml", "-y", default=None)
     ap.add_argument("--model_dir", default=None)
     ap.add_argument("--frames", type=int, default=5)
-    ap.add_argument("--seg_target", default="both",
-                    choices=["dynamic", "static", "both"])
     args = ap.parse_args(argv)
 
-    from tests.test_model_forward import TINY, MODALITY_ARGS
-    from gencomm_tpu.data.synthetic import SyntheticScenes
-    from gencomm_tpu.models.heter_baseline import HeterModel
     from gencomm_tpu.utils.misc_utils import mean_iu
-    from gencomm_tpu.utils import eval_utils
 
-    scenes = SyntheticScenes(TINY)
-    model = HeterModel(
-        modality_args=MODALITY_ARGS, fusion_method="att",
-        fusion_args={"att": {"feat_dim": 64}},
-        lidar_range=TINY.lidar_range, anchor_number=2,
-        seg_head_target=args.seg_target,
-    )
+    if args.hypes_yaml or args.model_dir:
+        from gencomm_tpu.config.yaml_utils import load_yaml
+        from gencomm_tpu.models import create_model
+        from gencomm_tpu.tools.train import build_dataset
+
+        hypes = load_yaml(args.hypes_yaml, args.model_dir)
+        # multi-task eval needs the seg head on the model
+        hypes["model"]["args"].setdefault("seg_head_args",
+                                          {"target": "both"})
+        model = create_model(hypes)
+        scenes = build_dataset(hypes, False, "synthetic")
+        lidar_range = tuple(hypes["preprocess"]["cav_lidar_range"])
+    else:
+        scenes, model, lidar_range = _builtin_setup()
+
     rng = jax.random.PRNGKey(0)
     batch0 = {k: jnp.asarray(v) for k, v in scenes.sample(0, 1).items()}
-    variables = model.init({"params": rng}, batch0, False)
+    variables = model.init(
+        {"params": rng, "diffusion": rng, "dropout": rng}, batch0, False
+    )
     if args.model_dir:
         from gencomm_tpu.train import checkpoint
 
         path = checkpoint.latest_checkpoint(args.model_dir)
         if path:
             ck = checkpoint.load_checkpoint(path)
-            variables = {"params": ck["params"],
-                         "batch_stats": ck.get("batch_stats", {})}
+            variables = {
+                "params": checkpoint.load_into(
+                    jax.device_get(variables["params"]), ck["params"]),
+                "batch_stats": checkpoint.load_into(
+                    jax.device_get(variables.get("batch_stats", {})),
+                    ck.get("batch_stats", {}), verbose=False),
+            }
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b, False))
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b, False, rngs={"diffusion": rng, "dropout": rng}))
     ius = []
-    stat = eval_utils.new_result_stat()
     for f in range(args.frames):
         host = scenes.sample(100 + f, 1)
         batch = {k: jnp.asarray(v) for k, v in host.items()}
         out = fwd(variables, batch)
-        # segmentation mean-IU vs a GT raster drawn from the boxes
+        if "dynamic_seg" not in out:
+            raise SystemExit("model has no seg head; add seg_head_args")
         dyn = np.asarray(jnp.argmax(out["dynamic_seg"], -1))[0]
         h, w = dyn.shape
+        # GT raster drawn from the frame's boxes
         gt = np.zeros((h, w), np.int64)
-        r = TINY.lidar_range
+        r = lidar_range
         boxes = host["gt_boxes"][0][host["gt_mask"][0] > 0]
         for b7 in boxes:
             px = int((b7[0] - r[0]) / (r[3] - r[0]) * w)

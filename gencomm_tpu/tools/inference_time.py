@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 
 def _pool(rng, shape, n=8):
+    """One distinct device tensor per timing iteration — the axon backend
+    dedupes executions with identical input buffers, so the pool must be at
+    least as large as the iteration count."""
     ks = jax.random.split(rng, n)
     return [jax.device_put(jax.random.normal(k, shape, jnp.float32))
             for k in ks]
@@ -50,7 +53,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     h, w, c = args.hw[0], args.hw[1], args.ch
     rng = jax.random.PRNGKey(0)
-    feat_pool = _pool(rng, (2, h, w, c))
+    n_pool = max(args.iters, 8)
+    feat_pool = _pool(rng, (2, h, w, c), n=n_pool)
     results = {}
 
     # --- GenComm: message extractor + diffusion generator -----------------
@@ -64,7 +68,7 @@ def main(argv=None):
         "ms": _time(me_fn, feat_pool, args.iters), "params_M": _pcount(me_vars)}
 
     gc = GenCommDiffusion(feat_ch=c, msg_ch=2, num_timesteps=3)
-    msg_pool = _pool(jax.random.fold_in(rng, 1), (2, h, w, 2))
+    msg_pool = _pool(jax.random.fold_in(rng, 1), (2, h, w, 2), n=n_pool)
     gc_vars = gc.init({"params": rng, "diffusion": rng},
                       feat_pool[0], msg_pool[0], False)
     gc_fn = jax.jit(lambda x, m: gc.apply(

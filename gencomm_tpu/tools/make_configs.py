@@ -375,7 +375,9 @@ def legacy_config(dataset, core, lidar_range):
                     "iou": {"sigma": 3.0, "weight": 1.0}},
             }
             if core in ("second", "second_intermediate"):
+                # second.py has only cls/reg heads — no dir supervision
                 cfg["loss"] = detection_loss()
+                del cfg["loss"]["args"]["dir"]
         if core == "second_ssfa_uncertainty":
             args["uncertainty_dim"] = 3
             cfg["loss"] = {

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from gencomm_tpu.config.yaml_utils import load_yaml, save_yaml
 from gencomm_tpu.models import create_model
-from gencomm_tpu.registry import LOSSES
 from gencomm_tpu.train import trainer, checkpoint
 from gencomm_tpu.data.postprocessor import generate_anchor_box
 import gencomm_tpu.loss  # noqa: F401  (register losses)
@@ -92,7 +91,32 @@ def main(argv=None):
 
     dataset = build_dataset(hypes, True, args.dataset)
     model = create_model(hypes)
-    criterion = LOSSES.get(hypes["loss"]["core_method"])(hypes["loss"]["args"])
+    # create_loss injects the anchor grid (IoU-rescore losses), lidar range
+    # and pyramid mode — never build criteria from the bare registry here
+    from gencomm_tpu.loss import create_loss
+
+    criterion = create_loss(hypes)
+
+    # batch adaptation per fusion mode / model family:
+    # - early fusion (Cooper): merge raw clouds into the ego frame
+    #   (early_fusion_dataset.py parity)
+    # - late/no fusion and the per-slot legacy detectors (CIASSD, SECOND,
+    #   FPV-RCNN, uncertainty): each sample is ONE agent; restrict to the
+    #   ego slot so per-slot predictions align with the (B, ...) labels
+    from gencomm_tpu.data.bucketing import ego_only_batch
+    from gencomm_tpu.data.early_fusion import merge_points_to_ego
+
+    fusion_mode = hypes.get("fusion", {}).get("core_method", "").lower()
+    core = hypes["model"]["core_method"].lower()
+    per_slot_cores = ("ciassd", "second", "second_ssfa", "fpvrcnn",
+                      "second_ssfa_uncertainty", "point_pillar_uncertainty")
+    if fusion_mode == "early":
+        lidar_range = hypes["preprocess"]["cav_lidar_range"]
+        adapt = lambda b: merge_points_to_ego(b, lidar_range)  # noqa: E731
+    elif fusion_mode in ("late", "no") or core in per_slot_cores:
+        adapt = ego_only_batch
+    else:
+        adapt = lambda b: b  # noqa: E731
 
     frozen_pred = None
     if args.freeze_prefixes:
@@ -127,7 +151,7 @@ def main(argv=None):
     tx = trainer.make_optimizer(hypes, args.steps_per_epoch, frozen_pred)
 
     batch_size = hypes["train_params"]["batch_size"]
-    first = next(batches(dataset, batch_size, 0, args.dataset))
+    first = adapt(next(batches(dataset, batch_size, 0, args.dataset)))
     state = trainer.create_train_state(model, first, jax.random.PRNGKey(0), tx)
 
     start_epoch = 0
@@ -149,8 +173,14 @@ def main(argv=None):
                 params=checkpoint.load_into(
                     jax.device_get(state.params), restored["params"]
                 ),
+                batch_stats=checkpoint.load_into(
+                    jax.device_get(state.batch_stats),
+                    restored.get("batch_stats", {}), verbose=False,
+                ),
                 step=jnp.asarray(restored.get("step", 0), jnp.int32),
             )
+            # checkpoints carry params/batch_stats/step only — like the
+            # reference's .pth resume, optimizer moments restart fresh
             start_epoch = int(restored.get("step", 0)) // max(
                 args.steps_per_epoch, 1
             )
@@ -162,7 +192,7 @@ def main(argv=None):
         gen = batches(dataset, batch_size, epoch, args.dataset)
         for it in range(args.steps_per_epoch):
             try:
-                batch = next(gen)
+                batch = adapt(next(gen))
             except StopIteration:
                 break
             state, losses = step_fn(

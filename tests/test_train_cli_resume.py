@@ -92,3 +92,58 @@ def test_train_cli_checkpoints_and_resumes(tmp_path, capsys):
     assert "resumed from" in out
     second = checkpoint.latest_checkpoint(model_dir)
     assert second != first
+
+
+def _tiny_variant(core_method):
+    import copy
+
+    cfg = copy.deepcopy(TINY_HYPES)
+    cfg["name"] = f"tiny_{core_method}"
+    if core_method == "ciassd":
+        cfg["preprocess"]["args"]["voxel_size"] = [0.2, 0.2, 0.1]
+        cfg["postprocess"]["anchor_args"]["feature_stride"] = 8
+        cfg["model"] = {"core_method": "ciassd", "args": {
+            "lidar_range": cfg["cav_lidar_range"],
+            "voxel_size": [0.2, 0.2, 0.1],
+            "max_voxels": 4096,
+            "mean_vfe": {"num_point_features": 4},
+            "spconv": {"num_features_in": 4, "num_features_out": 64},
+            "map2bev": {"feature_num": 128},
+            "ssfa": {"feature_num": 128},
+            "head": {"num_input": 128, "num_pred": 14, "num_cls": 2,
+                     "num_iou": 2, "use_dir": True, "num_dir": 4},
+        }}
+        cfg["loss"] = {"core_method": "ciassd_loss", "args": {
+            "pos_cls_weight": 1.5,
+            "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+            "reg": {"sigma": 3.0, "weight": 2.0},
+            "dir": {"weight": 0.2, "args": {"num_bins": 2,
+                    "anchor_yaw": [0, 90], "dir_offset": 0.7853}},
+            "iou": {"sigma": 3.0, "weight": 1.0},
+        }}
+    elif core_method == "early":
+        cfg["fusion"] = {"core_method": "early", "dataset": "opv2v",
+                         "args": {"proj_first": True}}
+    elif core_method == "late":
+        cfg["fusion"] = {"core_method": "late", "dataset": "opv2v",
+                         "args": {}}
+    return cfg
+
+
+@pytest.mark.parametrize("variant", ["ciassd", "early", "late"])
+def test_train_cli_per_slot_and_fusion_modes(tmp_path, variant):
+    """The review-found integration breaks: per-slot legacy models must
+    train against (B, ...) labels (ego-slot adaptation), and early/late
+    fusion configs must actually reshape the batch."""
+    import yaml as pyyaml
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.train import checkpoint
+
+    cfg = _tiny_variant(variant)
+    cfg_path = tmp_path / f"{variant}.yaml"
+    cfg_path.write_text(pyyaml.safe_dump(cfg))
+    model_dir = str(tmp_path / f"run_{variant}")
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "1",
+                    "--steps_per_epoch", "1"])
+    assert checkpoint.latest_checkpoint(model_dir) is not None
