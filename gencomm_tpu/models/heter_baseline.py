@@ -552,4 +552,7 @@ def build_model(hypes: dict) -> HeterModel:
         supervise_single=args.get("supervise_single", False),
         seg_head_target=args.get("seg_head_args", {}).get("target")
         if "seg_head_args" in args else None,
+        # gradient-matching needs the *_T (teacher-path) predictions
+        # emitted (tools/train_gmatch.py pairs them with the S path)
+        gmatch="gmatch" in hypes.get("loss", {}).get("core_method", ""),
     )

@@ -80,6 +80,13 @@ def main(argv=None):
                              "(stage-2 protocol)")
     parser.add_argument("--init_from", default=None,
                         help="checkpoint path for non-strict restore")
+    parser.add_argument("--trainer", default="plain",
+                        choices=["plain", "kd", "gmatch"],
+                        help="kd = DiscoNet teacher-student distillation "
+                             "(train_w_kd.py); gmatch = gradient-matching "
+                             "second-order objective (train_gmatch.py)")
+    parser.add_argument("--teacher_ckpt", default=None,
+                        help="frozen teacher checkpoint for --trainer kd")
     args = parser.parse_args(argv)
 
     hypes = load_yaml(args.hypes_yaml, args.model_dir)
@@ -186,7 +193,27 @@ def main(argv=None):
             )
             print(f"resumed from {latest} (epoch {start_epoch})")
 
-    step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred)
+    if args.trainer == "kd":
+        # DiscoNet KD (train_w_kd.py): the teacher is the same architecture
+        # with frozen weights from --teacher_ckpt
+        if not args.teacher_ckpt:
+            raise SystemExit("--trainer kd requires --teacher_ckpt")
+        t_restored = checkpoint.load_checkpoint(
+            checkpoint.latest_checkpoint(args.teacher_ckpt)
+            or args.teacher_ckpt
+        )
+        teacher_vars = {"params": t_restored["params"],
+                        "batch_stats": t_restored.get("batch_stats", {})}
+        step_fn = trainer.make_kd_train_step(
+            model, model, teacher_vars, criterion, tx
+        )
+    elif args.trainer == "gmatch":
+        step_fn = trainer.make_gmatch_train_step(
+            model, criterion, tx,
+            gen_weight=hypes["loss"]["args"].get("generate_weight", 1.0),
+        )
+    else:
+        step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred)
     epochs = args.epochs or hypes["train_params"]["epoches"]
     for epoch in range(start_epoch, epochs):
         gen = batches(dataset, batch_size, epoch, args.dataset)

@@ -147,3 +147,36 @@ def test_train_cli_per_slot_and_fusion_modes(tmp_path, variant):
                     "--dataset", "synthetic", "--epochs", "1",
                     "--steps_per_epoch", "1"])
     assert checkpoint.latest_checkpoint(model_dir) is not None
+
+
+@pytest.mark.slow
+def test_train_cli_gmatch_mode(tmp_path):
+    """--trainer gmatch drives the second-order gradient-matching step
+    (reference tools/train_gmatch.py) through the CLI."""
+    import copy
+    import yaml as pyyaml
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.train import checkpoint
+
+    cfg = copy.deepcopy(TINY_HYPES)
+    cfg["name"] = "tiny_gmatch"
+    args = cfg["model"]["args"]
+    args["message_extractor"] = {"in_ch": 64, "out_ch": 2}
+    args["gencomm"] = {
+        "model": {"ch": 4, "ch_mult": [1], "num_res_blocks": 1},
+        "diffusion": {"num_diffusion_timesteps": 2},
+    }
+    cfg["model"]["core_method"] = "heter_model_baseline_w_gencomm_stage1"
+    cfg["loss"] = {"core_method": "point_pillar_gmatch_loss", "args": {
+        "pos_cls_weight": 2.0,
+        "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+        "reg": {"sigma": 3.0, "weight": 2.0},
+        "generate_weight": 1.0,
+    }}
+    cfg_path = tmp_path / "gmatch.yaml"
+    cfg_path.write_text(pyyaml.safe_dump(cfg))
+    model_dir = str(tmp_path / "run_gmatch")
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "1",
+                    "--steps_per_epoch", "1", "--trainer", "gmatch"])
+    assert checkpoint.latest_checkpoint(model_dir) is not None
