@@ -74,3 +74,19 @@ def ego_only_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         else:
             out[k] = v
     return out
+
+
+def per_agent_label_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Use per-agent labels for per-slot models: every agent becomes a
+    training sample (the reference's late-fusion / 2-stage training
+    distribution). Replaces the ego-frame label arrays with the flattened
+    (B*L, ...) per-agent ones; falls back to the ego slot when the loader
+    didn't produce per-agent labels.
+    """
+    if "pos_equal_one_single" not in batch:
+        return ego_only_batch(batch)
+    out = dict(batch)
+    for k in ("pos_equal_one", "neg_equal_one", "targets"):
+        s = np.asarray(batch[f"{k}_single"])
+        out[k] = s.reshape((-1,) + s.shape[2:])
+    return out

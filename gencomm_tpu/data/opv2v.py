@@ -103,6 +103,12 @@ class OPV2VDataset:
         self.pos_threshold = params["postprocess"]["target_args"]["pos_threshold"]
         self.neg_threshold = params["postprocess"]["target_args"]["neg_threshold"]
         self.noise_setting = params.get("noise_setting")
+        margs = params.get("model", {}).get("args", {})
+        core = params.get("model", {}).get("core_method", "").lower()
+        self.per_agent_labels = bool(margs.get("supervise_single")) or any(
+            core.startswith(c) for c in
+            ("ciassd", "second", "fpvrcnn", "point_pillar_uncertainty")
+        )
         # comm delay in 100 ms frames (opv2v_basedataset.py:706-744 sim mode)
         delay_ms = 0
         wild = params.get("wild_setting", {})
@@ -269,6 +275,28 @@ class OPV2VDataset:
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
+        if self.per_agent_labels:
+            # per-agent anchor labels in each agent's own frame
+            # (intermediate_heter_fusion_dataset.py label_dict_single /
+            # late_fusion_dataset training distribution)
+            ps = np.zeros((L,) + label["pos_equal_one"].shape, np.float32)
+            ns = np.zeros_like(ps)
+            ts_ = np.zeros((L,) + label["targets"].shape, np.float32)
+            for i in range(na):
+                gtb_i, gtm_i, _ = project_world_objects(
+                    vehicles_union, noisy_poses[i], self.lidar_range,
+                    self.max_num,
+                )
+                lab_i = generate_label(
+                    gtb_i, gtm_i, self.anchors, self.pos_threshold,
+                    self.neg_threshold,
+                )
+                ps[i] = lab_i["pos_equal_one"]
+                ns[i] = lab_i["neg_equal_one"]
+                ts_[i] = lab_i["targets"]
+            sample["pos_equal_one_single"] = ps
+            sample["neg_equal_one_single"] = ns
+            sample["targets_single"] = ts_
         # per-modality slot masks + shared point buffers (the model runs
         # each lidar branch over all slots and mask-combines)
         for m in self.lidar_modalities:

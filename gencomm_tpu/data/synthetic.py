@@ -40,6 +40,10 @@ class SyntheticConfig:
     anchor_yaw_deg: tuple = (0.0, 90.0)
     pos_threshold: float = 0.6
     neg_threshold: float = 0.45
+    # per-agent anchor labels in each agent's own frame (the reference's
+    # supervise_single / 2-stage-dataset label path,
+    # intermediate_heter_fusion_dataset.py label_dict_single)
+    per_agent_labels: bool = False
 
 
 class SyntheticScenes:
@@ -98,6 +102,7 @@ class SyntheticScenes:
         )
         gt_boxes = np.zeros((B, c.max_gt, 7), np.float32)
         gt_mask = np.zeros((B, c.max_gt), np.float32)
+        pos_single = neg_single = tgt_single = None
 
         for b in range(B):
             na = c.num_agents
@@ -156,6 +161,31 @@ class SyntheticScenes:
             neg[b] = label["neg_equal_one"]
             targets[b] = label["targets"]
 
+            if c.per_agent_labels:
+                if pos_single is None:
+                    pos_single = np.zeros((B, L) + pos.shape[1:], np.float32)
+                    neg_single = np.zeros_like(pos_single)
+                    tgt_single = np.zeros((B, L) + targets.shape[1:],
+                                          np.float32)
+                for i in range(na):
+                    # GT projected into agent i's frame
+                    corners = box_utils.boxes_to_corners_3d(
+                        gt_boxes[b, :nv], "hwl")
+                    world_to_agent = np.linalg.inv(x_to_world(poses[i]))
+                    proj = box_utils.project_box3d(
+                        corners, world_to_agent.astype(np.float32))
+                    boxes_i = box_utils.corner_to_center(
+                        np.asarray(proj), order="hwl")
+                    padded = np.zeros_like(gt_boxes[b])
+                    padded[:nv] = boxes_i
+                    lab_i = generate_label(
+                        padded, gt_mask[b], self.anchors,
+                        c.pos_threshold, c.neg_threshold,
+                    )
+                    pos_single[b, i] = lab_i["pos_equal_one"]
+                    neg_single[b, i] = lab_i["neg_equal_one"]
+                    tgt_single[b, i] = lab_i["targets"]
+
         batch = {
             "agent_mask": agent_mask,
             "pairwise_t_matrix": pairwise,
@@ -168,6 +198,10 @@ class SyntheticScenes:
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
+        if pos_single is not None:
+            batch["pos_equal_one_single"] = pos_single
+            batch["neg_equal_one_single"] = neg_single
+            batch["targets_single"] = tgt_single
         return batch
 
     def gt_corners(self, batch: dict, b: int) -> np.ndarray:

@@ -37,4 +37,31 @@ def create_loss(hypes: dict):
         args["_anchors"] = anchors
         if isinstance(args.get("stage1"), dict):
             args["stage1"] = dict(args["stage1"], _anchors=anchors)
-    return LOSSES.get(hypes["loss"]["core_method"])(args)
+    criterion = LOSSES.get(hypes["loss"]["core_method"])(args)
+
+    # supervise_single: second criterion pass over the per-agent heads
+    # against per-agent labels (reference tools/train.py:152-158 calls the
+    # criterion twice and sums; labels from *_single keys, agents folded
+    # into the batch axis)
+    if hypes.get("model", {}).get("args", {}).get("supervise_single"):
+        base = criterion
+
+        def with_single(output, target, suffix=""):
+            losses = base(output, target, suffix)
+            if "cls_preds_single" in output \
+                    and "pos_equal_one_single" in target:
+                tgt = {
+                    k[: -len("_single")]: v.reshape((-1,) + v.shape[2:])
+                    for k, v in target.items() if k.endswith("_single")
+                }
+                single = base(output, tgt, suffix="_single")
+                for k, v in single.items():
+                    if k != "total_loss":
+                        losses[f"single_{k}"] = v
+                losses["total_loss"] = (
+                    losses["total_loss"] + single["total_loss"]
+                )
+            return losses
+
+        return with_single
+    return criterion

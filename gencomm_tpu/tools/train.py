@@ -30,9 +30,16 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
     if dataset == "synthetic":
         from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
 
+        margs = hypes.get("model", {}).get("args", {})
+        core = hypes.get("model", {}).get("core_method", "").lower()
+        needs_single = bool(margs.get("supervise_single")) or any(
+            core.startswith(c) for c in
+            ("ciassd", "second", "fpvrcnn", "point_pillar_uncertainty")
+        )
         cfg = SyntheticConfig(
             lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),
             max_cav=hypes["train_params"]["max_cav"],
+            per_agent_labels=needs_single,
         )
         return SyntheticScenes(cfg)
     if dataset == "dairv2x":
@@ -110,7 +117,9 @@ def main(argv=None):
     # - late/no fusion and the per-slot legacy detectors (CIASSD, SECOND,
     #   FPV-RCNN, uncertainty): each sample is ONE agent; restrict to the
     #   ego slot so per-slot predictions align with the (B, ...) labels
-    from gencomm_tpu.data.bucketing import ego_only_batch
+    from gencomm_tpu.data.bucketing import (
+        ego_only_batch, per_agent_label_batch,
+    )
     from gencomm_tpu.data.early_fusion import merge_points_to_ego
 
     fusion_mode = hypes.get("fusion", {}).get("core_method", "").lower()
@@ -120,7 +129,12 @@ def main(argv=None):
     if fusion_mode == "early":
         lidar_range = hypes["preprocess"]["cav_lidar_range"]
         adapt = lambda b: merge_points_to_ego(b, lidar_range)  # noqa: E731
-    elif fusion_mode in ("late", "no") or core in per_slot_cores:
+    elif core in per_slot_cores:
+        # every agent trains as a sample against its own-frame labels when
+        # the loader provides them (late-fusion / 2-stage distribution),
+        # else restrict to the ego slot
+        adapt = per_agent_label_batch
+    elif fusion_mode in ("late", "no"):
         adapt = ego_only_batch
     else:
         adapt = lambda b: b  # noqa: E731

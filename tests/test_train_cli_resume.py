@@ -180,3 +180,42 @@ def test_train_cli_gmatch_mode(tmp_path):
                     "--dataset", "synthetic", "--epochs", "1",
                     "--steps_per_epoch", "1", "--trainer", "gmatch"])
     assert checkpoint.latest_checkpoint(model_dir) is not None
+
+
+@pytest.mark.slow
+def test_train_cli_supervise_single(tmp_path):
+    """supervise_single: per-agent heads trained against per-agent labels
+    (reference train.py:152-158 double criterion pass)."""
+    import copy
+    import yaml as pyyaml
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.train import checkpoint
+
+    cfg = copy.deepcopy(TINY_HYPES)
+    cfg["name"] = "tiny_single"
+    cfg["model"]["args"]["supervise_single"] = True
+    cfg_path = tmp_path / "single.yaml"
+    cfg_path.write_text(pyyaml.safe_dump(cfg))
+    model_dir = str(tmp_path / "run_single")
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "1",
+                    "--steps_per_epoch", "1"])
+    assert checkpoint.latest_checkpoint(model_dir) is not None
+
+
+def test_per_agent_label_batch_flattens():
+    from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+    from gencomm_tpu.data.bucketing import per_agent_label_batch
+    import numpy as np
+
+    cfg = SyntheticConfig(
+        lidar_range=(-16.0, -8.0, -3.0, 16.0, 8.0, 1.0), max_cav=3,
+        num_agents=2, points_per_agent=512, num_vehicles=2,
+        points_per_vehicle=64, per_agent_labels=True,
+    )
+    b = SyntheticScenes(cfg).sample(0, 2)
+    out = per_agent_label_batch(b)
+    assert out["pos_equal_one"].shape[0] == 2 * 3  # B*L leading dim
+    # ego rows match the original ego-frame labels
+    np.testing.assert_allclose(out["pos_equal_one"][0], b["pos_equal_one"][0])
+    np.testing.assert_allclose(out["pos_equal_one"][3], b["pos_equal_one"][1])
