@@ -48,10 +48,17 @@ class ResBlock(nn.Module):
 
 
 class CamEncoder(nn.Module):
-    """Image -> (depth distribution, image features) at stride 8."""
+    """Image -> (depth distribution, image features) at stride 8.
+
+    ``trunk_blocks`` scales the residual stack per stage — the analog of the
+    reference's two trunk capacities (CamEncode EfficientNet-b0 vs
+    CamEncode_Resnet101, lss_submodule.py:53/140): m2 configs use the
+    default 2, m4 configs a deeper trunk.
+    """
 
     depth_bins: int
     feat_ch: int
+    trunk_blocks: int = 2
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -59,9 +66,11 @@ class CamEncoder(nn.Module):
         x = ConvBNReLU(64, kernel=7, stride=2)(imgs, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = ResBlock(128, stride=1)(x, train)
-        x = ResBlock(128)(x, train)
+        for _ in range(self.trunk_blocks - 1):
+            x = ResBlock(128)(x, train)
         x = ResBlock(256, stride=2)(x, train)
-        x = ResBlock(256)(x, train)
+        for _ in range(self.trunk_blocks - 1):
+            x = ResBlock(256)(x, train)
         x = ConvBNReLU(512, kernel=3)(x, train)
         depth_logits = nn.Conv(self.depth_bins, (1, 1), name="depth_head")(x)
         feats = nn.Conv(self.feat_ch, (1, 1), name="image_head")(x)
@@ -88,6 +97,7 @@ class LSSEncoder(nn.Module):
     final_dim: Tuple[int, int]
     downsample: int = 8
     feat_ch: int = 128
+    trunk_blocks: int = 2
 
     def setup(self):
         self.dx, self.bx, self.nx_grid = gen_dx_bx(
@@ -100,7 +110,8 @@ class LSSEncoder(nn.Module):
             np.float32,
         )
         self.cam_encode = CamEncoder(
-            depth_bins=len(self.depth_centers), feat_ch=self.feat_ch
+            depth_bins=len(self.depth_centers), feat_ch=self.feat_ch,
+            trunk_blocks=self.trunk_blocks,
         )
 
     def _frustum(self):

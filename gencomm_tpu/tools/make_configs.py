@@ -50,6 +50,20 @@ def pillar_modality(lidar_range):
     }
 
 
+def second_modality(lidar_range):
+    return {
+        "sensor_type": "lidar",
+        "core_method": "second",
+        "preprocess": {
+            "core_method": "SpVoxelPreprocessor",
+            "args": {"voxel_size": [0.1, 0.1, 0.1],
+                     "max_points_per_voxel": 5,
+                     "max_voxel_train": 32000, "max_voxel_test": 70000},
+            "cav_lidar_range": list(lidar_range),
+        },
+    }
+
+
 def camera_modality():
     return {
         "sensor_type": "camera",
@@ -94,15 +108,16 @@ def pillar_branch(lidar_range):
     }
 
 
-def camera_branch(lidar_range):
-    cm = camera_modality()
+def second_branch(lidar_range):
     return {
-        "core_method": "lift_splat_shoot",
-        "sensor_type": "camera",
-        "encoder_args": {"grid_conf": cm["grid_conf"],
-                         "data_aug_conf": cm["data_aug_conf"],
-                         "img_downsample": 8, "img_features": 128,
-                         "lidar_range": list(lidar_range)},
+        "core_method": "second",
+        "sensor_type": "lidar",
+        "encoder_args": {
+            "voxel_size": [0.1, 0.1, 0.1],
+            "lidar_range": list(lidar_range),
+            "max_voxels": 32000,
+            "spconv": {"num_features_in": 4, "num_features_out": 128},
+        },
         "backbone_args": {"layer_nums": [3, 5, 8],
                           "layer_strides": [2, 2, 2],
                           "num_filters": [64, 128, 256],
@@ -112,6 +127,57 @@ def camera_branch(lidar_range):
         "shrink_header": {"kernal_size": [3], "stride": [2], "padding": [1],
                           "dim": [128], "input_dim": 384},
     }
+
+
+def camera_branch(lidar_range, deep=False):
+    """LSS camera branch. ``deep=True`` = the m4 agent type (reference's
+    CamEncode_Resnet101 trunk, lss_submodule.py:140) — a deeper image trunk
+    than the m2 default (EfficientNet-b0 analog)."""
+    cm = camera_modality()
+    return {
+        "core_method": "lift_splat_shoot",
+        "sensor_type": "camera",
+        "encoder_args": {"grid_conf": cm["grid_conf"],
+                         "data_aug_conf": cm["data_aug_conf"],
+                         "img_downsample": 8, "img_features": 128,
+                         "trunk_blocks": 4 if deep else 2,
+                         "lidar_range": list(lidar_range)},
+        "camera_mask_args": {"grid_conf": cm["grid_conf"]},
+        "backbone_args": {"layer_nums": [3, 5, 8],
+                          "layer_strides": [2, 2, 2],
+                          "num_filters": [64, 128, 256],
+                          "upsample_strides": [1, 2, 4],
+                          "num_upsample_filter": [128, 128, 128]},
+        "aligner_args": {"core_method": "identity"},
+        "shrink_header": {"kernal_size": [3], "stride": [2], "padding": [1],
+                          "dim": [128], "input_dim": 384},
+    }
+
+
+def modality_branch(tag, lidar_range):
+    """Agent-type tags follow the reference (BASELINE.md / Single/*.yaml):
+    m1 = PointPillars 128-beam lidar, m2 = LSS camera (EfficientNet-b0
+    analog), m3 = SECOND 32-beam lidar, m4 = LSS camera deep trunk
+    (ResNet101 analog), m0 = STAMP protocol modality (pillar)."""
+    if tag in ("m0", "m1"):
+        return pillar_branch(lidar_range)
+    if tag == "m2":
+        return camera_branch(lidar_range)
+    if tag == "m3":
+        return second_branch(lidar_range)
+    if tag == "m4":
+        return camera_branch(lidar_range, deep=True)
+    raise ValueError(tag)
+
+
+def modality_setting(tag, lidar_range):
+    if tag in ("m0", "m1"):
+        return pillar_modality(lidar_range)
+    if tag == "m3":
+        return second_modality(lidar_range)
+    if tag in ("m2", "m4"):
+        return camera_modality()
+    raise ValueError(tag)
 
 
 def postprocess_block(lidar_range, stride=4):
@@ -188,72 +254,95 @@ FUSION_EXTRAS = {
 }
 
 
-def intermediate_fusion_config(dataset, method, lidar_range):
-    cfg = base_config(f"{dataset}_point_pillar_{method}", dataset,
+def intermediate_fusion_config(dataset, method, lidar_range, tag="m1",
+                               name=None):
+    """Homogeneous intermediate fusion. ``tag`` picks the agent type
+    (m1 pillar / m2 LSS / m3 SECOND / m4 deep LSS); ``method`` is one of
+    FUSION_EXTRAS or 'coalign' (att fusion + SE2 box-alignment block,
+    reference LiDAROnly/lidar_coalign.yaml + box_align_v2.py)."""
+    cfg = base_config(name or f"{dataset}_point_pillar_{method}", dataset,
                       lidar_range)
+    fus = "att" if method == "coalign" else method
     args = {
         "ego_modality": "m1",
         "lidar_range": list(lidar_range),
-        "m1": pillar_branch(lidar_range),
-        "fusion_method": method,
+        "m1": modality_branch(tag, lidar_range),
+        "fusion_method": fus,
         "in_head": 128,
         "anchor_number": 2,
         "dir_args": dict(DIR_ARGS),
     }
-    args.update(copy.deepcopy(FUSION_EXTRAS[method]))
+    args.update(copy.deepcopy(FUSION_EXTRAS[fus]))
+    if method == "coalign":
+        cfg["box_align"] = {
+            "train_result": "stage1_boxes.json",
+            "val_result": "stage1_boxes.json",
+            "args": {"landmark_SE2": True, "adaptive_landmark": False,
+                     "normalize_pairwise_tfm": True},
+        }
+    cfg["heter"]["modality_setting"]["m1"] = modality_setting(
+        tag, lidar_range)
+    if tag in ("m2", "m4"):
+        cfg["input_source"] = ["camera"]
+        cfg["loss"] = detection_loss(
+            "point_pillar_depth_loss", {"depth": {"weight": 1.0}})
+    else:
+        cfg["loss"] = detection_loss()
     cfg["model"] = {"core_method": "heter_model_baseline", "args": args}
-    cfg["loss"] = detection_loss()
     return cfg
 
 
-def gencomm_stage1_config(dataset, modality_core, lidar_range, tag):
-    cfg = intermediate_fusion_config(dataset, "att", lidar_range)
-    cfg["name"] = f"{dataset}_gencomm_stage1_{tag}_att"
+GENCOMM_BLOCK = {
+    "model": {"embed_dim": 130, "in_channels": 128, "out_ch": 128,
+              "ch": 8, "ch_mult": [1, 1], "num_res_blocks": 2,
+              "attn_resolutions": [16], "dropout": 0.0,
+              "resamp_with_conv": True},
+    "diffusion": {"beta_schedule": "linear", "beta_start": 0.0005,
+                  "beta_end": 0.02, "num_diffusion_timesteps": 3},
+}
+
+
+def gencomm_stage1_config(dataset, tag, lidar_range, fusion="att"):
+    cfg = intermediate_fusion_config(dataset, fusion, lidar_range, tag=tag)
+    cfg["name"] = f"{dataset}_gencomm_stage1_{tag}_{fusion}"
     args = cfg["model"]["args"]
     args["message_extractor"] = {"in_ch": 128, "out_ch": 2}
     args["enhancer"] = {"in_ch": 128}
-    args["gencomm"] = {
-        "model": {"embed_dim": 130, "in_channels": 128, "out_ch": 128,
-                  "ch": 8, "ch_mult": [1, 1], "num_res_blocks": 2,
-                  "attn_resolutions": [16], "dropout": 0.0,
-                  "resamp_with_conv": True},
-        "diffusion": {"beta_schedule": "linear", "beta_start": 0.0005,
-                      "beta_end": 0.02, "num_diffusion_timesteps": 3},
-    }
+    args["gencomm"] = copy.deepcopy(GENCOMM_BLOCK)
     cfg["model"]["core_method"] = "heter_model_baseline_w_gencomm_stage1"
-    cfg["loss"] = detection_loss("point_pillar_gencomm_loss",
-                                 {"generate_weight": 1})
-    if modality_core == "second":
-        args["m1"] = copy.deepcopy(args["m1"])
-        args["m1"]["core_method"] = "second"
-        args["m1"]["encoder_args"] = {
-            "voxel_size": [0.1, 0.1, 0.1],
-            "lidar_range": list(lidar_range),
-            "max_voxels": 32000,
-            "spconv": {"num_features_in": 4, "num_features_out": 128},
-        }
-        cfg["heter"]["modality_setting"]["m1"]["core_method"] = "second"
-    elif modality_core == "lift_splat_shoot":
-        args["m1"] = camera_branch(lidar_range)
-        cfg["heter"]["modality_setting"]["m1"] = camera_modality()
-        cfg["input_source"] = ["camera"]
+    if tag in ("m2", "m4"):
         cfg["loss"] = detection_loss(
             "point_pillar_depth_loss",
             {"generate_weight": 1, "depth": {"weight": 1.0}})
+    else:
+        cfg["loss"] = detection_loss("point_pillar_gencomm_loss",
+                                     {"generate_weight": 1})
     return cfg
 
 
-def hetero_method_config(dataset, method, lidar_range):
-    """BackAlign / CodeFilling / MPDA / STAMP / GenComm-stage2: m1 pillar
-    base + m2 camera newcomer."""
-    cfg = intermediate_fusion_config(dataset, "att", lidar_range)
-    cfg["name"] = f"{dataset}_{method}_m1m2"
-    cfg["input_source"] = ["lidar", "camera"]
-    cfg["heter"]["mapping_dict"] = {"m1": "m1", "m2": "m2",
-                                    "m3": "m1", "m4": "m2"}
-    cfg["heter"]["modality_setting"]["m2"] = camera_modality()
+def hetero_method_config(dataset, method, lidar_range, base_tag="m1",
+                         new_tag="m2", fusion="att"):
+    """BackAlign / CodeFilling / MPDA / STAMP / GenComm-stage2: ``base_tag``
+    collaboration base + ``new_tag`` newcomer agent type (reference
+    GenComm_yamls/{gencomm,baselines}/stage2/*)."""
+    cfg = intermediate_fusion_config(dataset, fusion, lidar_range,
+                                     tag=base_tag)
+    cfg["name"] = f"{dataset}_{method}_{base_tag}{new_tag}_{fusion}"
+    sensors = {modality_setting(t, lidar_range)["sensor_type"]
+               for t in (base_tag, new_tag)}
+    cfg["input_source"] = sorted(sensors)
+    cfg["heter"]["ego_modality"] = base_tag if base_tag != "m0" else new_tag
+    cfg["heter"]["mapping_dict"] = {"m1": base_tag, "m2": new_tag,
+                                    "m3": base_tag, "m4": new_tag}
+    cfg["heter"]["modality_setting"] = {
+        base_tag: modality_setting(base_tag, lidar_range),
+        new_tag: modality_setting(new_tag, lidar_range),
+    }
     args = cfg["model"]["args"]
-    args["m2"] = camera_branch(lidar_range)
+    args["ego_modality"] = cfg["heter"]["ego_modality"]
+    if base_tag != "m1":
+        args[base_tag] = args.pop("m1")
+    args[new_tag] = modality_branch(new_tag, lidar_range)
     core = {
         "backalign": "heter_model_baseline_w_backalign",
         "codefilling": "heter_model_baseline_w_codebook",
@@ -271,7 +360,7 @@ def hetero_method_config(dataset, method, lidar_range):
         cfg["loss"] = detection_loss("point_pillar_mpda_loss",
                                      {"da_weight": 0.1})
     elif method == "stamp":
-        for m in ("m1", "m2"):
+        for m in (base_tag, new_tag):
             args[m]["adapter"] = {"core_method": "adapterconvnext",
                                   "args": {"depth": 1}}
             args[m]["reverter"] = {"core_method": "adapterconvnext",
@@ -282,27 +371,60 @@ def hetero_method_config(dataset, method, lidar_range):
     elif method == "gencomm_stage2":
         args["message_extractor"] = {"in_ch": 128, "out_ch": 2}
         args["enhancer"] = {"in_ch": 128}
-        args["gencomm"] = {
-            "model": {"embed_dim": 130, "in_channels": 128, "out_ch": 128,
-                      "ch": 8, "ch_mult": [1, 1], "num_res_blocks": 2,
-                      "attn_resolutions": [16], "dropout": 0.0,
-                      "resamp_with_conv": True},
-            "diffusion": {"beta_schedule": "linear", "beta_start": 0.0005,
-                          "beta_end": 0.02, "num_diffusion_timesteps": 3},
-        }
+        args["gencomm"] = copy.deepcopy(GENCOMM_BLOCK)
         cfg["loss"] = detection_loss("point_pillar_gencomm_loss",
                                      {"generate_weight": 1})
     return cfg
 
 
-def pyramid_config(dataset, lidar_range, collab=True):
+def multi_modality_config(dataset, tags, fusion, lidar_range):
+    """End-to-end joint training over 2-4 agent types (reference
+    MoreModality/{2,3,4}_modality_end2end_training/*)."""
+    cfg = intermediate_fusion_config(dataset, fusion, lidar_range)
+    joined = "".join(tags)
+    cfg["name"] = f"{dataset}_{joined}_{fusion}"
+    sensors = {modality_setting(t, lidar_range)["sensor_type"] for t in tags}
+    cfg["input_source"] = sorted(sensors)
+    slots = ["m1", "m2", "m3", "m4"]
+    cfg["heter"]["mapping_dict"] = {
+        s: tags[i % len(tags)] for i, s in enumerate(slots)
+    }
+    cfg["heter"]["modality_setting"] = {
+        t: modality_setting(t, lidar_range) for t in tags
+    }
+    args = cfg["model"]["args"]
+    del args["m1"]
+    for t in tags:
+        args[t] = modality_branch(t, lidar_range)
+    args["ego_modality"] = tags[0]
+    cfg["heter"]["ego_modality"] = tags[0]
+    return cfg
+
+
+def single_pretrain_config(dataset, tag, lidar_range):
+    """Single-agent pretrain per agent type (reference Single/
+    m*_pretrain.yaml): no collaboration, per-agent supervision."""
+    cfg = intermediate_fusion_config(dataset, "att", lidar_range, tag=tag)
+    cfg["name"] = f"{dataset}_{tag}_pretrain"
+    cfg["fusion"] = {"core_method": "late", "dataset": dataset,
+                     "args": {"proj_first": False}}
+    cfg["model"]["args"]["supervise_single"] = True
+    cfg["train_params"]["max_cav"] = 1
+    return cfg
+
+
+def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
     cfg = base_config(
-        f"{dataset}_heal_pyramid_{'collab' if collab else 'single'}",
+        name or f"{dataset}_heal_pyramid_{'collab' if collab else 'single'}",
         dataset, lidar_range)
+    cfg["heter"]["modality_setting"]["m1"] = modality_setting(
+        tag, lidar_range)
+    if tag in ("m2", "m4"):
+        cfg["input_source"] = ["camera"]
     args = {
         "ego_modality": "m1",
         "lidar_range": list(lidar_range),
-        "m1": pillar_branch(lidar_range),
+        "m1": modality_branch(tag, lidar_range),
         "fusion_method": "pyramid",
         "fusion_backbone": {"resnext": True, "layer_nums": [3, 5, 8],
                             "layer_strides": [1, 2, 2],
@@ -471,45 +593,162 @@ def main(argv=None):
     args = ap.parse_args(argv)
     emitted = []
 
-    def emit(dataset, cfg):
-        d = os.path.join(args.out, dataset)
+    def emit(dataset, cfg, subdir=None, fname=None):
+        d = os.path.join(args.out, dataset, *(subdir or "").split("/"))
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, cfg["name"].replace(f"{dataset}_", "", 1)
-                            + ".yaml")
+        name = fname or cfg["name"].replace(f"{dataset}_", "", 1)
+        path = os.path.join(d, name + ".yaml")
         with open(path, "w") as f:
             yaml.safe_dump(cfg, f, sort_keys=False)
         emitted.append(path)
 
-    # opv2v: the full homogeneous fusion family
+    # ----- opv2v (reference: 149 yamls under hypes_yaml/opv2v) -----
+    # flat root: homogeneous fusion family + late/early (kept at the
+    # historical paths so existing docs/commands stay valid)
     for method in FUSION_EXTRAS:
         emit("opv2v", intermediate_fusion_config("opv2v", method,
                                                  LIDAR_RANGE))
     emit("opv2v", late_fusion_config("opv2v", LIDAR_RANGE, early=False))
     emit("opv2v", late_fusion_config("opv2v", LIDAR_RANGE, early=True))
-    # HEAL pyramid
     emit("opv2v", pyramid_config("opv2v", LIDAR_RANGE, collab=True))
     emit("opv2v", pyramid_config("opv2v", LIDAR_RANGE, collab=False))
-    # GenComm stage 1 per agent type + stage 2 & hetero baselines
-    for tag, core in (("m1", "point_pillar"), ("m3", "second"),
-                      ("m2", "lift_splat_shoot")):
-        emit("opv2v", gencomm_stage1_config("opv2v", core, LIDAR_RANGE, tag))
+    for tag in ("m1", "m2", "m3"):
+        emit("opv2v", gencomm_stage1_config("opv2v", tag, LIDAR_RANGE))
     for method in ("gencomm_stage2", "backalign", "codefilling", "mpda",
                    "stamp"):
-        emit("opv2v", hetero_method_config("opv2v", method, LIDAR_RANGE))
-    # legacy detectors
+        cfg = hetero_method_config("opv2v", method, LIDAR_RANGE)
+        emit("opv2v", cfg, fname=f"{method}_m1m2")
     for core in ("second", "second_intermediate", "second_ssfa",
                  "second_ssfa_uncertainty", "ciassd", "fpvrcnn",
                  "point_pillar_uncertainty", "center_point", "pixor",
                  "voxel_net"):
         emit("opv2v", legacy_config("opv2v", core, LIDAR_RANGE))
 
-    # other datasets: att baseline + gencomm stage1/stage2
-    for ds, rng_ in (("dairv2x", DAIR_RANGE), ("v2xset", LIDAR_RANGE),
-                     ("v2xsim", LIDAR_RANGE), ("v2xreal", LIDAR_RANGE)):
-        emit(ds, intermediate_fusion_config(ds, "att", rng_))
-        emit(ds, gencomm_stage1_config(ds, "point_pillar", rng_, "m1"))
-    emit("dairv2x", hetero_method_config("dairv2x", "gencomm_stage2",
-                                         DAIR_RANGE))
+    # camera-only / lidar-only fusion families (reference CameraOnly/*,
+    # LiDAROnly/*: attfuse, fcooper, disco, v2vnet, v2xvit, cobevt,
+    # coalign, pyramid)
+    for prefix, tag in (("camera", "m2"), ("lidar", "m1")):
+        sub = f"{prefix}_only"
+        for method in ("att", "max", "disconet", "v2vnet", "v2xvit",
+                       "cobevt", "where2comm", "who2com", "coalign"):
+            cfg = intermediate_fusion_config(
+                "opv2v", method, LIDAR_RANGE, tag=tag,
+                name=f"opv2v_{prefix}_{method}")
+            emit("opv2v", cfg, subdir=sub, fname=f"{prefix}_{method}")
+        emit("opv2v",
+             pyramid_config("opv2v", LIDAR_RANGE, collab=True, tag=tag,
+                            name=f"opv2v_{prefix}_pyramid"),
+             subdir=sub, fname=f"{prefix}_pyramid")
+
+    # multi-modality end-to-end training (reference MoreModality/
+    # {2,3,4}_modality_end2end_training)
+    for tags in (("m1", "m2"), ("m1", "m3"), ("m1", "m2", "m3"),
+                 ("m1", "m2", "m3", "m4")):
+        sub = f"more_modality/{len(tags)}_modality_end2end"
+        for method in ("att", "max", "disconet", "v2vnet", "v2xvit",
+                       "cobevt", "coalign"):
+            cfg = multi_modality_config("opv2v", tags, method, LIDAR_RANGE)
+            emit("opv2v", cfg, subdir=sub,
+                 fname=f"{''.join(tags)}_{method}")
+
+    # GenComm stage1 (all four agent types x {att, v2xvit}) + stage2
+    for tag in ("m1", "m2", "m3", "m4"):
+        for fusion in ("att", "v2xvit"):
+            emit("opv2v",
+                 gencomm_stage1_config("opv2v", tag, LIDAR_RANGE, fusion),
+                 subdir="gencomm/stage1", fname=f"{tag}_{fusion}")
+    for new_tag in ("m2", "m3", "m4"):
+        for fusion in ("att", "v2xvit"):
+            cfg = hetero_method_config("opv2v", "gencomm_stage2",
+                                       LIDAR_RANGE, new_tag=new_tag,
+                                       fusion=fusion)
+            emit("opv2v", cfg, subdir="gencomm/stage2",
+                 fname=f"m1{new_tag}_{fusion}")
+
+    # hetero baselines stage1 (plain heter baseline per agent type) and
+    # stage2 (reference GenComm_yamls/baselines/*)
+    for tag in ("m1", "m2", "m3", "m4"):
+        for fusion in ("att", "v2xvit"):
+            cfg = intermediate_fusion_config(
+                "opv2v", fusion, LIDAR_RANGE, tag=tag,
+                name=f"opv2v_baseline_stage1_{tag}_{fusion}")
+            emit("opv2v", cfg, subdir="baselines/stage1",
+                 fname=f"{tag}_{fusion}")
+    for method in ("backalign", "codefilling", "mpda"):
+        for new_tag in ("m2", "m3", "m4"):
+            for fusion in ("att", "v2xvit"):
+                cfg = hetero_method_config("opv2v", method, LIDAR_RANGE,
+                                           new_tag=new_tag, fusion=fusion)
+                emit("opv2v", cfg, subdir=f"baselines/stage2/{method}",
+                     fname=f"m1{new_tag}_{fusion}")
+    # STAMP: m0 protocol modality + each agent type (baselines/stage2/STAMP)
+    for new_tag in ("m1", "m2", "m3", "m4"):
+        cfg = hetero_method_config("opv2v", "stamp", LIDAR_RANGE,
+                                   base_tag="m0", new_tag=new_tag)
+        emit("opv2v", cfg, subdir="baselines/stage2/stamp",
+             fname=f"m0{new_tag}_att")
+
+    # HEAL protocol (reference MoreModality/HEAL): per-type pyramid stage1,
+    # single-alignment stage2, final joint inference
+    for tag in ("m1", "m2", "m3", "m4"):
+        emit("opv2v",
+             pyramid_config("opv2v", LIDAR_RANGE, collab=True, tag=tag,
+                            name=f"opv2v_heal_stage1_{tag}_pyramid"),
+             subdir="heal/stage1", fname=f"{tag}_pyramid")
+        emit("opv2v",
+             pyramid_config("opv2v", LIDAR_RANGE, collab=False, tag=tag,
+                            name=f"opv2v_heal_stage2_{tag}_single"),
+             subdir="heal/stage2", fname=f"{tag}_single_pyramid")
+    emit("opv2v",
+         pyramid_config("opv2v", LIDAR_RANGE, collab=True,
+                        name="opv2v_heal_final_m1m2m3m4"),
+         subdir="heal/final_infer", fname="m1m2m3m4")
+
+    # single-agent pretrains (reference Single/*_pretrain.yaml)
+    for tag in ("m1", "m2", "m3", "m4"):
+        emit("opv2v", single_pretrain_config("opv2v", tag, LIDAR_RANGE),
+             subdir="single", fname=f"{tag}_pretrain")
+
+    # ----- other datasets -----
+    # dairv2x (reference: 52 yamls): fusion family + late/early + pyramid +
+    # gencomm + the hetero-method stack
+    for method in FUSION_EXTRAS:
+        emit("dairv2x",
+             intermediate_fusion_config("dairv2x", method, DAIR_RANGE))
+    emit("dairv2x", late_fusion_config("dairv2x", DAIR_RANGE, early=False))
+    emit("dairv2x", late_fusion_config("dairv2x", DAIR_RANGE, early=True))
+    emit("dairv2x", pyramid_config("dairv2x", DAIR_RANGE, collab=True))
+    for tag in ("m1", "m2"):
+        emit("dairv2x", gencomm_stage1_config("dairv2x", tag, DAIR_RANGE))
+    for method in ("gencomm_stage2", "backalign", "codefilling", "mpda",
+                   "stamp"):
+        cfg = hetero_method_config("dairv2x", method, DAIR_RANGE)
+        emit("dairv2x", cfg, fname=f"{method}_m1m2")
+
+    # v2xset (reference: 18): fusion family + gencomm
+    for method in FUSION_EXTRAS:
+        emit("v2xset",
+             intermediate_fusion_config("v2xset", method, LIDAR_RANGE))
+    emit("v2xset", gencomm_stage1_config("v2xset", "m1", LIDAR_RANGE))
+    emit("v2xset", hetero_method_config("v2xset", "gencomm_stage2",
+                                        LIDAR_RANGE),
+         fname="gencomm_stage2_m1m2")
+
+    # v2xsim (reference: 6)
+    for method in ("att", "max", "v2xvit", "disconet"):
+        emit("v2xsim",
+             intermediate_fusion_config("v2xsim", method, LIDAR_RANGE))
+    emit("v2xsim", gencomm_stage1_config("v2xsim", "m1", LIDAR_RANGE))
+
+    # v2xreal (reference: 27): fusion family + gencomm + hetero methods
+    for method in FUSION_EXTRAS:
+        emit("v2xreal",
+             intermediate_fusion_config("v2xreal", method, LIDAR_RANGE))
+    emit("v2xreal", gencomm_stage1_config("v2xreal", "m1", LIDAR_RANGE))
+    for method in ("gencomm_stage2", "backalign", "codefilling", "mpda",
+                   "stamp"):
+        cfg = hetero_method_config("v2xreal", method, LIDAR_RANGE)
+        emit("v2xreal", cfg, fname=f"{method}_m1m2")
 
     print(f"emitted {len(emitted)} configs")
     return emitted

@@ -11,7 +11,8 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*", "*.yaml")))
+CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"),
+                           recursive=True))
 
 
 @pytest.mark.parametrize("path", CONFIGS,
@@ -30,5 +31,8 @@ def test_config_builds_model_and_loss(path):
 
 
 def test_config_count_covers_method_matrix():
-    # fusion family + hetero methods + legacy detectors + datasets
-    assert len(CONFIGS) >= 35
+    # fusion family + hetero methods + legacy detectors + camera/lidar-only
+    # families + multi-modality end2end + gencomm/baseline/HEAL stage
+    # matrices + single pretrains, across the five datasets (reference
+    # ships 253 hypes yamls)
+    assert len(CONFIGS) >= 150
