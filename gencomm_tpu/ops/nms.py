@@ -36,15 +36,33 @@ def rotated_nms(corners, scores, valid, iou_thresh: float, row_chunk: int = 64):
 
     iou = quad_iou_pairwise(q, q, row_chunk=row_chunk)  # (K, K)
     idx = jnp.arange(k)
+    # overlap[j, i]: higher-scored j (j < i in sorted order) would suppress i
+    overlap = (iou > iou_thresh) & (idx[:, None] < idx[None, :])
 
-    def body(i, state):
-        suppressed, keep = state
-        is_keep = (~suppressed[i]) & v[i]
-        keep = keep.at[i].set(is_keep)
-        newly = is_keep & (iou[i] > iou_thresh) & (idx > i)
-        return suppressed | newly, keep
+    # Exact greedy keep-set via round-parallel closure instead of a K-step
+    # sequential fori_loop (which costs ~3.7 us/step on TPU — the profiled
+    # hot spot of the whole pipeline). Each round:
+    #   * a candidate = still-undecided box not overlapped by any KEPT box;
+    #   * keep every candidate with no higher-scored candidate overlapping
+    #     it. Such a box is kept by sequential greedy too: every
+    #     higher-scored overlapping box is suppressed by an already-kept
+    #     box, so it can never be kept itself.
+    # Each round finalizes at least the highest-scored undecided candidate,
+    # and rounds = suppression-chain depth (2-4 in practice, K worst case),
+    # each one two masked (K, K) any-reductions — pure VPU work.
 
-    suppressed0 = ~v
-    keep0 = jnp.zeros((k,), dtype=bool)
-    _, keep = jax.lax.fori_loop(0, k, body, (suppressed0, keep0))
-    return order, keep
+    def cond(state):
+        kept, und = state
+        return und.any()
+
+    def body(state):
+        kept, und = state
+        sup_by_kept = (overlap & kept[:, None]).any(axis=0)
+        und = und & ~sup_by_kept
+        blocked = (overlap & und[:, None]).any(axis=0)
+        newkeep = und & ~blocked
+        return kept | newkeep, und & ~newkeep
+
+    kept0 = jnp.zeros((k,), dtype=bool)
+    kept, _ = jax.lax.while_loop(cond, body, (kept0, v))
+    return order, kept

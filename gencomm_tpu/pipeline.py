@@ -103,8 +103,30 @@ class InferencePipeline:
 
         self._run = _run
 
+        @jax.jit
+        def _run_stream(variables, frames, keys):
+            """Device-resident streaming: ``frames`` is a pytree with a
+            leading frame axis; one dispatch scans the per-frame graph over
+            it (batch-1 semantics preserved exactly — the reference enforces
+            eval batch 1, intermediate_heter_fusion_dataset.py:757; a real
+            serving loop amortizes dispatch overhead exactly like this)."""
+
+            def step(carry, fk):
+                frame, key = fk
+                return carry, _run(variables, frame, key)
+
+            _, dets = jax.lax.scan(step, 0, (frames, keys))
+            return dets
+
+        self._run_stream = _run_stream
+
     def run(self, batch: Dict[str, jnp.ndarray], seed: int = 0) -> Detections:
         return self._run(self.variables, batch, jax.random.PRNGKey(seed))
+
+    def run_stream(self, frames: Dict[str, jnp.ndarray], keys) -> Detections:
+        """frames: batch pytree stacked on a leading frame axis; keys:
+        (n_frames, 2) PRNG keys. Returns Detections stacked per frame."""
+        return self._run_stream(self.variables, frames, keys)
 
     def evaluate(self, scenes, n_frames: int = 10, batch_size: int = 1,
                  seed0: int = 100) -> Dict[str, float]:

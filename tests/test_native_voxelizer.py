@@ -105,3 +105,44 @@ def test_list_path_matches_flat_path():
     )
     np.testing.assert_allclose(np.asarray(flat), np.asarray(lst),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_decorated_path_matches_device_flat_path():
+    """Host C++/numpy decoration (sorted-by-gid emission) must produce the
+    same BEV canvas as the pure on-device flat path — the scatter-max is
+    order-insensitive, and the sorted emission feeds the device's
+    indices_are_sorted fast path."""
+    rng = np.random.RandomState(2)
+    B, L, P = 1, 2, 600
+    pts = np.zeros((B, L, P, 4), np.float32)
+    pts[..., 0] = rng.uniform(-10, 10, (B, L, P))  # some out of range
+    pts[..., 1] = rng.uniform(-5, 5, (B, L, P))
+    pts[..., 2] = rng.uniform(-4, 2, (B, L, P))
+    pts[..., 3] = rng.rand(B, L, P)
+    mask = np.ones((B, L, P), bool)
+
+    enc = PointPillarEncoder(
+        voxel_size=VOXEL, lidar_range=PC_RANGE, num_filters=(16,),
+        use_norm=True,
+    )
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                         jnp.asarray(mask), False)
+    flat = enc.apply(variables, jnp.asarray(pts), jnp.asarray(mask), False)
+
+    vz = PillarVoxelizer(PC_RANGE, VOXEL)
+    feats, gids, valid = vz.decorate_batch(pts.reshape(B * L, P, 4))
+    # sorted emission invariant: per agent, gids ascending
+    for a in range(B * L):
+        assert np.all(np.diff(gids[a]) >= 0)
+    dec = enc.apply(
+        variables, None, None, False,
+        decorated=jnp.asarray(feats.reshape(B, L, P, 10)),
+        gids=jnp.asarray(gids.reshape(B, L, P)),
+        dvalid=jnp.asarray(valid.reshape(B, L, P)),
+    )
+    # the decorated path scatters in bf16 (monotone rounding commutes with
+    # max, so it equals bf16(f32 canvas) up to PFN fp noise at bf16 scale)
+    assert dec.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(flat, np.float32), np.asarray(dec, np.float32),
+        atol=2e-2, rtol=2e-2)

@@ -143,3 +143,46 @@ def test_rotated_nms_basic():
     order, keep = rotated_nms(quads, scores, valid, iou_thresh=0.15, row_chunk=4)
     kept_idx = np.asarray(order)[np.asarray(keep)]
     assert set(kept_idx.tolist()) == {0, 2}
+
+
+def test_rotated_nms_matches_sequential_greedy_dense():
+    """The round-parallel keep-set closure in ops/nms.py must equal the
+    reference's sequential greedy walk (box_utils.py:915-961) exactly, on
+    dense random clusters that force deep suppression chains."""
+    from gencomm_tpu.ops.rotated_iou import quad_iou_pairwise
+
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        k = 128
+        centers = rng.normal(0, 3 if trial % 2 else 1.2, (k, 2))
+        ang = rng.uniform(0, np.pi, k)
+        w = rng.uniform(1.5, 2.5, k)
+        h = rng.uniform(3.5, 5.0, k)
+        quads = np.zeros((k, 4, 2), np.float32)
+        for i in range(k):
+            c, s = np.cos(ang[i]), np.sin(ang[i])
+            rot = np.array([[c, -s], [s, c]])
+            box = np.array([[-w[i] / 2, -h[i] / 2], [w[i] / 2, -h[i] / 2],
+                            [w[i] / 2, h[i] / 2], [-w[i] / 2, h[i] / 2]])
+            quads[i] = box @ rot.T + centers[i]
+        scores = rng.uniform(0, 1, k).astype(np.float32)
+        valid = rng.uniform(0, 1, k) > 0.1
+
+        iou = np.asarray(quad_iou_pairwise(jnp.asarray(quads),
+                                           jnp.asarray(quads)))
+        order_ref = np.argsort(-np.where(valid, scores, -np.inf))
+        iou_s = iou[np.ix_(order_ref, order_ref)]
+        v = valid[order_ref]
+        suppressed = ~v
+        keep_ref = np.zeros(k, bool)
+        for i in range(k):
+            if suppressed[i]:
+                continue
+            keep_ref[i] = True
+            suppressed |= (iou_s[i] > 0.15) & (np.arange(k) > i)
+
+        order, keep = rotated_nms(jnp.asarray(quads), jnp.asarray(scores),
+                                  jnp.asarray(valid), 0.15)
+        kept_new = set(np.asarray(order)[np.asarray(keep)].tolist())
+        kept_ref = set(order_ref[keep_ref].tolist())
+        assert kept_new == kept_ref
