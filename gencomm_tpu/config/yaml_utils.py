@@ -53,7 +53,14 @@ def load_yaml(file: str, model_dir: str | None = None) -> dict:
     )
     with open(file, "r") as f:
         param = yaml.load(f, Loader=loader)
+    return update_yaml(param)
 
+
+def update_yaml(param: dict) -> dict:
+    """Re-run the derivation parsers on an (already loaded / runtime
+    modified) hypes dict — the reference's yaml_utils_stamp.update_yaml:100
+    (used after range overrides and by the STAMP tools). Dispatch is by the
+    explicit YAML_PARSERS registry, not eval."""
     if "yaml_parser" in param:
         parsers = param["yaml_parser"]
         if isinstance(parsers, str):

@@ -52,8 +52,36 @@ def merge(args):
 
 
 def best(args):
-    path = checkpoint.latest_checkpoint(args.model_dir)
+    # prefer the rolling bestval checkpoint, fall back to latest
+    # (reference heal_tools.find_best_checkpoint:12-36)
+    path = (checkpoint.bestval_checkpoint(args.model_dir)
+            or checkpoint.latest_checkpoint(args.model_dir))
     print(path or "no checkpoints found")
+    return path
+
+
+def clean(args):
+    """Remove intermediate epoch checkpoints, keeping the first, the
+    latest, and bestval (reference utils/cleanup_utils.py:
+    clean_all_numeric_checkpoint, applied to a dir or its subdirs)."""
+    import shutil
+
+    def clean_one(d):
+        steps = sorted(
+            (int(name.split("_")[1]), name)
+            for name in os.listdir(d)
+            if name.startswith("step_") and name.split("_")[1].isdigit()
+        )
+        for _, name in steps[1:-1]:
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+            print("removed", os.path.join(d, name))
+
+    root = args.path
+    clean_one(root)
+    for sub in os.listdir(root):
+        p = os.path.join(root, sub)
+        if os.path.isdir(p) and not sub.startswith(("step_", "bestval_")):
+            clean_one(p)
 
 
 def _save(out_dir, params, stats, step=0):
@@ -155,9 +183,15 @@ def main(argv=None):
     mf = sub.add_parser("merge-final")
     mf.add_argument("--ckpts", nargs="+", required=True)
     mf.add_argument("--out", required=True)
+    cl = sub.add_parser(
+        "clean", help="remove all intermediate epoch checkpoints except the "
+                      "first, the latest, and bestval (reference "
+                      "utils/cleanup_utils.py)")
+    cl.add_argument("--path", required=True,
+                    help="log dir (or a dir of log dirs) to clean")
     args = parser.parse_args(argv)
     {"merge": merge, "best": best, "rename": rename, "remove": remove,
-     "merge-final": merge_final}[args.cmd](args)
+     "merge-final": merge_final, "clean": clean}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,9 @@ from gencomm_tpu.utils import eval_utils, box_utils
 
 
 def main(argv=None):
+    import gencomm_tpu
+
+    gencomm_tpu.enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--dataset", default="opv2v",

@@ -45,6 +45,9 @@ def _pcount(variables) -> float:
 
 
 def main(argv=None):
+    import gencomm_tpu
+
+    gencomm_tpu.enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--hw", type=int, nargs=2, default=(64, 128),
                     help="BEV feature H W")

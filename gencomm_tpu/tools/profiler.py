@@ -38,6 +38,54 @@ def flops_estimate(fn, *args) -> float | None:
         return None
 
 
+def trace_op_breakdown(fn, *args, iters: int = 5, trace_dir: str | None = None,
+                       top: int = 20) -> list:
+    """Capture a device trace (jax.profiler, the torch.profiler analog —
+    reference params_calc.py:28-60) and return the top ops by total device
+    time: [(us_per_iter, count_per_iter, op_name), ...].
+
+    The raw xplane/trace files stay in ``trace_dir`` for tensorboard.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    trace_dir = trace_dir or tempfile.mkdtemp(prefix="gencomm_trace_")
+    jitted = jax.jit(fn)
+    out = jitted(*args)
+    jax.block_until_ready(out)  # compile outside the trace
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(iters):
+        out = jitted(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+
+    paths = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return []
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and \
+                "TPU" in pids.get(e.get("pid"), ""):
+            dur[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    rows = [(d / iters, cnt[name] // iters, name)
+            for name, d in dur.most_common(top)]
+    print(f"device trace written to {trace_dir}")
+    for us, n, name in rows:
+        print(f"  {us:>9.0f} us/iter x{n:<4} {name[:72]}")
+    return rows
+
+
 def latency(fn, *args, iters: int = 20) -> dict:
     """Compile + steady-state latency of a jitted callable."""
     jitted = jax.jit(fn)
@@ -55,6 +103,9 @@ def latency(fn, *args, iters: int = 20) -> dict:
 
 
 def main(argv=None):
+    import gencomm_tpu
+
+    gencomm_tpu.enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default=None)
     parser.add_argument("--hypes_yaml", default=None)
@@ -65,6 +116,10 @@ def main(argv=None):
                         help="also profile the TRAINING step: throughput + "
                              "peak device memory "
                              "(tools/profiler/traintp_calc.py:24-60 parity)")
+    parser.add_argument("--trace", default=None, nargs="?", const="",
+                        help="capture a device trace (jax.profiler; the "
+                             "torch.profiler analog) and print the top ops "
+                             "by device time; optional value = trace dir")
     args = parser.parse_args(argv)
 
     from gencomm_tpu.config.yaml_utils import load_yaml
@@ -105,6 +160,10 @@ def main(argv=None):
           f"{lat['latency_ms']:.2f} ms/frame, "
           f"{lat['throughput_fps']:.1f} fps")
     result = {"params": n_params, "flops": fl, **lat}
+
+    if args.trace is not None:
+        trace_op_breakdown(fwd, dv, batch,
+                           trace_dir=args.trace or None)
 
     if args.train:
         from gencomm_tpu.loss import create_loss

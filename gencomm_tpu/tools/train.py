@@ -75,6 +75,9 @@ def batches(dataset, batch_size: int, seed: int, dataset_kind: str):
 
 
 def main(argv=None):
+    import gencomm_tpu
+
+    gencomm_tpu.enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--hypes_yaml", "-y", required=True)
     parser.add_argument("--model_dir", default=None)
@@ -94,6 +97,13 @@ def main(argv=None):
                              "second-order objective (train_gmatch.py)")
     parser.add_argument("--teacher_ckpt", default=None,
                         help="frozen teacher checkpoint for --trainer kd")
+    parser.add_argument("--val_steps", type=int, default=5,
+                        help="validation batches per eval (0 disables the "
+                             "val loop / bestval tracking)")
+    parser.add_argument("--run_test", action="store_true",
+                        help="run inference on the final checkpoint after "
+                             "training (reference train.py:218-230 spawns "
+                             "inference.py)")
     args = parser.parse_args(argv)
 
     hypes = load_yaml(args.hypes_yaml, args.model_dir)
@@ -228,7 +238,10 @@ def main(argv=None):
         )
     else:
         step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred)
+    eval_fn = trainer.make_eval_step(model, criterion)
     epochs = args.epochs or hypes["train_params"]["epoches"]
+    eval_freq = hypes["train_params"].get("eval_freq", 1)
+    best_val = float("inf")
     for epoch in range(start_epoch, epochs):
         gen = batches(dataset, batch_size, epoch, args.dataset)
         for it in range(args.steps_per_epoch):
@@ -249,8 +262,39 @@ def main(argv=None):
         if (epoch + 1) % hypes["train_params"].get("save_freq", 1) == 0:
             path = checkpoint.save_checkpoint(model_dir, state, step=epoch + 1)
             print(f"saved {path}", flush=True)
+        # validation + rolling bestval (reference train.py:169-214: val
+        # loss each eval_freq epochs, single bestval checkpoint)
+        if args.val_steps > 0 and (epoch + 1) % eval_freq == 0:
+            vgen = batches(dataset, batch_size, 99000 + epoch % 1000,
+                           args.dataset)
+            vtotal, vn = 0.0, 0
+            for vit in range(args.val_steps):
+                try:
+                    vbatch = adapt(next(vgen))
+                except StopIteration:
+                    break
+                vlosses = eval_fn(state, vbatch,
+                                  jax.random.PRNGKey(777 + vit))
+                vtotal += float(vlosses["total_loss"])
+                vn += 1
+            if vn:
+                vavg = vtotal / vn
+                print(f"[epoch {epoch}] val loss {vavg:.4f}"
+                      f" (best {best_val:.4f})", flush=True)
+                if vavg < best_val:
+                    best_val = vavg
+                    bpath = checkpoint.save_bestval(model_dir, state,
+                                                    epoch + 1)
+                    print(f"new bestval -> {bpath}", flush=True)
     checkpoint.save_checkpoint(model_dir, state, step=epochs)
     print("training done:", model_dir)
+    if args.run_test:
+        # reference train.py:218-230 shells out to inference.py on the
+        # fresh checkpoint; we call it in-process
+        from gencomm_tpu.tools import inference
+
+        inference.main(["--model_dir", model_dir,
+                        "--dataset", args.dataset, "--frames", "5"])
     return model_dir
 
 

@@ -52,6 +52,42 @@ def latest_checkpoint(model_dir: str) -> str | None:
     return os.path.join(model_dir, max(steps)[1])
 
 
+def save_bestval(path: str, state: Any, epoch: int) -> str:
+    """Single ROLLING bestval checkpoint: the previous bestval_at_* is
+    removed first (reference: one net_epoch_bestval_at%d.pth, stale copies
+    deduplicated — train.py:190-205, train_ddp.py:258-268)."""
+    import shutil
+
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith("bestval_at_"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    ckpt = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": int(state.step),
+    }
+    target = os.path.join(path, f"bestval_at_{epoch}")
+    ocp.PyTreeCheckpointer().save(target, ckpt, force=True)
+    return target
+
+
+def bestval_checkpoint(model_dir: str) -> str | None:
+    """Path of the rolling bestval checkpoint, if any (the reference's
+    eval/merge tools prefer bestval over latest, heal_tools.py:12-36)."""
+    if not os.path.isdir(model_dir):
+        return None
+    cands = [
+        (int(d.rsplit("_", 1)[1]), d)
+        for d in os.listdir(model_dir)
+        if d.startswith("bestval_at_") and d.rsplit("_", 1)[1].isdigit()
+    ]
+    if not cands:
+        return None
+    return os.path.join(model_dir, max(cands)[1])
+
+
 def diff_keys(reference: Dict, incoming: Dict) -> Tuple[set, set]:
     """(missing_in_incoming, unexpected_in_incoming) — mirrors
     train_utils.check_missing_key:142-165."""

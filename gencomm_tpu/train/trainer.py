@@ -228,6 +228,25 @@ def make_train_step(model, criterion, tx,
     return jax.jit(train_step)
 
 
+def make_eval_step(model, criterion):
+    """Jitted (state, batch, rng) -> losses dict, no grad/update — the val
+    half of the reference's epoch loop (train.py:169-214 bestval
+    tracking)."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rngs = {
+            "diffusion": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+        }
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, rngs=rngs,
+        )
+        return criterion(out, batch)
+
+    return jax.jit(eval_step)
+
+
 def make_kd_train_step(student, teacher, teacher_vars, criterion, tx,
                        feature_key: str = "gt_feature"):
     """DiscoNet knowledge distillation (tools/train_w_kd.py): the frozen

@@ -219,3 +219,66 @@ def test_per_agent_label_batch_flattens():
     # ego rows match the original ego-frame labels
     np.testing.assert_allclose(out["pos_equal_one"][0], b["pos_equal_one"][0])
     np.testing.assert_allclose(out["pos_equal_one"][3], b["pos_equal_one"][1])
+
+
+@pytest.mark.slow
+def test_train_cli_bestval_and_clean(tmp_path, capsys):
+    """Validation loop + rolling bestval checkpoint (reference
+    train.py:169-214) and heal_tools best/clean (find_best_checkpoint,
+    cleanup_utils.clean_all_numeric_checkpoint)."""
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.tools import heal_tools
+    from gencomm_tpu.train import checkpoint
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(TINY_HYPES))
+    model_dir = str(tmp_path / "run")
+
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "3",
+                    "--steps_per_epoch", "2", "--val_steps", "1"])
+    out = capsys.readouterr().out
+    assert "val loss" in out
+    best = checkpoint.bestval_checkpoint(model_dir)
+    assert best is not None and "bestval_at_" in best
+    # exactly one rolling bestval dir
+    n_best = sum(1 for d in os.listdir(model_dir)
+                 if d.startswith("bestval_at_"))
+    assert n_best == 1
+
+    # heal_tools best prefers bestval
+    class A:  # argparse stand-in
+        pass
+    a = A(); a.model_dir = model_dir
+    assert heal_tools.best(a) == best
+
+    # clean keeps first + latest step ckpts and bestval
+    steps_before = sorted(d for d in os.listdir(model_dir)
+                          if d.startswith("step_"))
+    assert len(steps_before) >= 3
+    c = A(); c.path = model_dir
+    heal_tools.clean(c)
+    steps_after = sorted(d for d in os.listdir(model_dir)
+                         if d.startswith("step_"))
+    assert steps_after == [steps_before[0], steps_before[-1]] or \
+        set(steps_after) == {steps_before[0], steps_before[-1]}
+    assert checkpoint.bestval_checkpoint(model_dir) == best
+
+
+def test_update_yaml_rederives_anchors():
+    """config.update_yaml (yaml_utils_stamp.update_yaml:100 parity): after
+    a runtime range override the derivation parsers recompute the anchor
+    grid (the reference's inference.py --range flow)."""
+    import copy
+    from gencomm_tpu.config.yaml_utils import update_yaml
+
+    cfg = copy.deepcopy(TINY_HYPES)
+    cfg = update_yaml(cfg)
+    w0 = cfg["postprocess"]["anchor_args"]["W"]
+    big = [-32.0, -16.0, -3.0, 32.0, 16.0, 1.0]
+    cfg["cav_lidar_range"] = list(big)
+    cfg["preprocess"]["cav_lidar_range"] = list(big)
+    cfg["postprocess"]["anchor_args"]["cav_lidar_range"] = list(big)
+    cfg["postprocess"]["gt_range"] = list(big)
+    cfg2 = update_yaml(cfg)
+    assert cfg2["postprocess"]["anchor_args"]["W"] == 2 * w0
