@@ -207,6 +207,9 @@ def decode_and_nms(
 
     score_ok = prob > score_threshold
     masked_scores = jnp.where(score_ok, prob, 0.0)
+    # small grids (tiny eval ranges) can have fewer anchors than the
+    # requested pre-NMS cap
+    topk = min(topk, masked_scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked_scores, topk)
     top_boxes = boxes[top_idx]
     top_valid = top_scores > score_threshold

@@ -50,9 +50,26 @@ def main(argv=None):
     parser.add_argument("--save_vis_interval", type=int, default=0,
                         help="dump a BEV png every N frames (0 = off; "
                         "reference inference.py:205-226)")
+    parser.add_argument("--range", dest="det_range", default=None,
+                        help="override the detection range as "
+                             "'xmin,ymin,zmin,xmax,ymax,zmax' and re-derive "
+                             "the anchor grid (reference inference.py:50-73)")
     args = parser.parse_args(argv)
 
     hypes = load_yaml(None, args.model_dir)
+    if args.det_range:
+        rng_ = [float(v) for v in args.det_range.split(",")]
+        assert len(rng_) == 6, "--range needs 6 comma-separated floats"
+        from gencomm_tpu.config.yaml_utils import update_yaml
+
+        hypes["cav_lidar_range"] = list(rng_)
+        hypes["preprocess"]["cav_lidar_range"] = list(rng_)
+        hypes["postprocess"]["anchor_args"]["cav_lidar_range"] = list(rng_)
+        hypes["postprocess"]["gt_range"] = list(rng_)
+        for setting in hypes.get("heter", {}).get(
+                "modality_setting", {}).values():
+            setting.get("preprocess", {})["cav_lidar_range"] = list(rng_)
+        hypes = update_yaml(hypes)
     if args.pos_std or args.rot_std:
         hypes["noise_setting"] = {
             "add_noise": True,
@@ -68,7 +85,10 @@ def main(argv=None):
     dataset = build_dataset(hypes, False, args.dataset)
     model = create_model(hypes)
 
-    ckpt_path = checkpoint.latest_checkpoint(args.model_dir)
+    # prefer the bestval checkpoint at eval (reference
+    # train_utils.load_saved_model:168-216)
+    ckpt_path = (checkpoint.bestval_checkpoint(args.model_dir)
+                 or checkpoint.latest_checkpoint(args.model_dir))
     assert ckpt_path, f"no checkpoint in {args.model_dir}"
     restored = checkpoint.load_checkpoint(ckpt_path)
 

