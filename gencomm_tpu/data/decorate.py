@@ -1,0 +1,74 @@
+"""Host-side pillar decoration for training/eval batches.
+
+The reference voxelizes on CPU inside the DataLoader (spconv
+VoxelGeneratorV2, sp_voxel_preprocessor.py:22-60). Our analog: the C++
+decorator (gencomm_tpu/native, threaded, GIL-released) turns raw
+``points_mK (B, L, P, 4)`` into 10-dim decorated features + SORTED pillar
+ids, which the encoder consumes with XLA's sorted-scatter fast path — the
+device then does ONE matmul + ONE sorted max-scatter instead of three
+random segment scatters (~100x faster scatter; a device-side argsort was
+measured to cost more than it saves, ops/voxel.py note).
+
+Gradients are unaffected: decoration is a fixed function of the input
+points, computed in the loader exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+_VOXELIZERS: Dict[tuple, object] = {}
+
+
+def _voxelizer(lidar_range, voxel_size):
+    from gencomm_tpu.native import PillarVoxelizer
+
+    key = (tuple(lidar_range), tuple(voxel_size))
+    if key not in _VOXELIZERS:
+        _VOXELIZERS[key] = PillarVoxelizer(tuple(lidar_range),
+                                           tuple(voxel_size))
+    return _VOXELIZERS[key]
+
+
+def host_decorate_pillars(batch: Dict[str, np.ndarray],
+                          hypes: dict) -> Dict[str, np.ndarray]:
+    """Replace ``points_mK`` with ``decorated_mK/gids_mK/dvalid_mK`` for
+    every point_pillar lidar modality in the model config. Non-pillar
+    modalities (camera, SECOND, voxelnet) and batches without raw points
+    pass through untouched."""
+    margs = hypes.get("model", {}).get("args", {})
+    out = dict(batch)
+    for mname, mcfg in margs.items():
+        if not isinstance(mcfg, dict):
+            continue
+        if mcfg.get("core_method", "") != "point_pillar":
+            continue
+        pts_key = f"points_{mname}"
+        if pts_key not in out or f"decorated_{mname}" in out:
+            continue
+        enc = mcfg.get("encoder_args", {})
+        if "voxel_size" not in enc or "lidar_range" not in enc:
+            continue
+        pts = np.asarray(out[pts_key])[..., :4].astype(np.float32)
+        b, l, p, d = pts.shape
+        mask_key = f"point_mask_{mname}"
+        if mask_key in out:
+            # padded points must not reach the decorator's per-pillar mean
+            # statistics (the device path masks them before stats too):
+            # push them far below the z range so the range filter drops them
+            m = np.asarray(out[mask_key]).astype(bool)
+            if not m.all():
+                pts = pts.copy()
+                pts[~m] = np.array([0.0, 0.0, -1e4, 0.0], np.float32)
+        vz = _voxelizer(enc["lidar_range"], enc["voxel_size"])
+        feats, gids, valid = vz.decorate_batch(
+            np.ascontiguousarray(pts.reshape(b * l, p, 4))
+        )
+        out[f"decorated_{mname}"] = feats.reshape(b, l, p, 10)
+        out[f"gids_{mname}"] = gids.reshape(b, l, p)
+        out[f"dvalid_{mname}"] = valid.reshape(b, l, p)
+        del out[pts_key]
+        out.pop(mask_key, None)
+    return out

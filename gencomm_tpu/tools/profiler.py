@@ -120,6 +120,9 @@ def main(argv=None):
                         help="capture a device trace (jax.profiler; the "
                              "torch.profiler analog) and print the top ops "
                              "by device time; optional value = trace dir")
+    parser.add_argument("--no_host_decorate", action="store_true",
+                        help="profile the raw on-device voxelization path "
+                             "instead of the loader's host C++ decoration")
     args = parser.parse_args(argv)
 
     from gencomm_tpu.config.yaml_utils import load_yaml
@@ -134,6 +137,10 @@ def main(argv=None):
         host = dataset.sample(0, 1)
     else:
         host = dataset.collate([dataset[0]])
+    if not args.no_host_decorate:
+        from gencomm_tpu.data.decorate import host_decorate_pillars
+
+        host = host_decorate_pillars(host, hypes)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
 
     variables = trainer.cpu_init(model, host, jax.random.PRNGKey(0),

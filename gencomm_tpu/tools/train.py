@@ -104,6 +104,11 @@ def main(argv=None):
                         help="run inference on the final checkpoint after "
                              "training (reference train.py:218-230 spawns "
                              "inference.py)")
+    parser.add_argument("--no_host_decorate", action="store_true",
+                        help="disable host-side C++ pillar decoration (the "
+                             "loader-voxelization analog of the reference's "
+                             "spconv DataLoader path); raw points are then "
+                             "voxelized on device")
     args = parser.parse_args(argv)
 
     hypes = load_yaml(args.hypes_yaml, args.model_dir)
@@ -148,6 +153,16 @@ def main(argv=None):
         adapt = ego_only_batch
     else:
         adapt = lambda b: b  # noqa: E731
+
+    if not args.no_host_decorate:
+        # loader-side C++ pillar decoration: the device then runs ONE
+        # matmul + ONE sorted max-scatter per pillar modality instead of
+        # three random segment scatters (data/decorate.py)
+        from gencomm_tpu.data.decorate import host_decorate_pillars
+
+        base_adapt = adapt
+        adapt = lambda b: host_decorate_pillars(  # noqa: E731
+            base_adapt(b), hypes)
 
     frozen_pred = None
     if args.freeze_prefixes:
@@ -242,6 +257,9 @@ def main(argv=None):
     epochs = args.epochs or hypes["train_params"]["epoches"]
     eval_freq = hypes["train_params"].get("eval_freq", 1)
     best_val = float("inf")
+    from gencomm_tpu.train.metrics import MetricsLogger
+
+    metrics = MetricsLogger(model_dir)
     for epoch in range(start_epoch, epochs):
         gen = batches(dataset, batch_size, epoch, args.dataset)
         for it in range(args.steps_per_epoch):
@@ -257,6 +275,8 @@ def main(argv=None):
                     f"{k}={float(v):.4f}" for k, v in losses.items()
                 )
                 print(f"[epoch {epoch}][{it}] {msg}", flush=True)
+                metrics.log(epoch * args.steps_per_epoch + it, losses,
+                            prefix="train/")
         if hasattr(dataset, "reinitialize"):
             dataset.reinitialize()
         if (epoch + 1) % hypes["train_params"].get("save_freq", 1) == 0:
@@ -281,12 +301,15 @@ def main(argv=None):
                 vavg = vtotal / vn
                 print(f"[epoch {epoch}] val loss {vavg:.4f}"
                       f" (best {best_val:.4f})", flush=True)
+                metrics.log((epoch + 1) * args.steps_per_epoch,
+                            {"total_loss": vavg}, prefix="val/")
                 if vavg < best_val:
                     best_val = vavg
                     bpath = checkpoint.save_bestval(model_dir, state,
                                                     epoch + 1)
                     print(f"new bestval -> {bpath}", flush=True)
     checkpoint.save_checkpoint(model_dir, state, step=epochs)
+    metrics.close()
     print("training done:", model_dir)
     if args.run_test:
         # reference train.py:218-230 shells out to inference.py on the

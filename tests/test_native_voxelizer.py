@@ -146,3 +146,45 @@ def test_decorated_path_matches_device_flat_path():
     np.testing.assert_allclose(
         np.asarray(flat, np.float32), np.asarray(dec, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+def test_host_decorate_pillars_respects_padding_mask():
+    """data/decorate.host_decorate_pillars: padded points (point_mask
+    False) must not contribute to pillar statistics — canvas equals the
+    raw on-device path with the same mask."""
+    from gencomm_tpu.data.decorate import host_decorate_pillars
+
+    rng = np.random.RandomState(5)
+    B, L, P = 1, 2, 400
+    pts = np.zeros((B, L, P, 4), np.float32)
+    pts[..., 0] = rng.uniform(-8, 8, (B, L, P))
+    pts[..., 1] = rng.uniform(-4, 4, (B, L, P))
+    pts[..., 2] = rng.uniform(-3, 1, (B, L, P))
+    pts[..., 3] = rng.rand(B, L, P)
+    mask = np.ones((B, L, P), bool)
+    mask[..., 300:] = False           # padded tail
+    pts[..., 300:, :] = 0.0           # zeros land in the center pillar!
+
+    enc = PointPillarEncoder(voxel_size=VOXEL, lidar_range=PC_RANGE,
+                             num_filters=(16,), use_norm=True)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                         jnp.asarray(mask), False)
+    raw = enc.apply(variables, jnp.asarray(pts), jnp.asarray(mask), False)
+
+    hypes = {"model": {"args": {"m1": {
+        "core_method": "point_pillar",
+        "encoder_args": {"voxel_size": list(VOXEL),
+                         "lidar_range": list(PC_RANGE)},
+    }}}}
+    batch = host_decorate_pillars(
+        {"points_m1": pts, "point_mask_m1": mask}, hypes)
+    assert "points_m1" not in batch and "decorated_m1" in batch
+    dec = enc.apply(
+        variables, None, None, False,
+        decorated=jnp.asarray(batch["decorated_m1"]),
+        gids=jnp.asarray(batch["gids_m1"]),
+        dvalid=jnp.asarray(batch["dvalid_m1"]),
+    )
+    np.testing.assert_allclose(np.asarray(raw, np.float32),
+                               np.asarray(dec, np.float32),
+                               atol=2e-2, rtol=2e-2)

@@ -305,3 +305,19 @@ def test_inference_cli_range_override_and_bestval(tmp_path, capsys):
                     "--range=-32.0,-16.0,-3.0,32.0,16.0,1.0"])
     out = capsys.readouterr().out
     assert "bestval_at_" in out or "loaded" in out.lower() or "ap" in out.lower()
+
+
+def test_metrics_logger(tmp_path):
+    """MetricsLogger: JSONL always, tensorboard scalars when tensorboardX
+    is importable (reference: per-loss logging() -> SummaryWriter)."""
+    import json
+    from gencomm_tpu.train.metrics import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path))
+    m.log(0, {"total_loss": 1.5}, prefix="train/")
+    m.log(10, {"total_loss": 1.2}, prefix="val/")
+    m.close()
+    lines = [json.loads(x) for x in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["train/total_loss"] == 1.5
+    assert lines[1]["val/total_loss"] == 1.2 and lines[1]["step"] == 10
