@@ -192,6 +192,10 @@ class LSSEncoder(nn.Module):
         flat_id = jnp.where(inb, agent_idx * (nz * ny * nx) + cell,
                             a * nz * ny * nx)
         feats_flat = lifted.reshape(-1, lifted.shape[-1])
+        # NOTE: sort-then-sorted-segment-sum was tried here and REGRESSED
+        # (11.3 -> 8.7 fps at camera scale): permuting the (3M, C) feature
+        # rows costs more than the random scatter saves. Keep the direct
+        # segment_sum.
         canvas = jax.ops.segment_sum(
             feats_flat, flat_id.reshape(-1), num_segments=a * nz * ny * nx + 1
         )[:-1]

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
@@ -40,12 +41,17 @@ class HGTCavAttention(nn.Module):
         inner = self.heads * self.dim_head
         nt = self.num_types
 
+        type_onehot = jax.nn.one_hot(agent_types, nt, dtype=x.dtype)
+
         def typed_proj(name, out_dim):
-            # project with every type's linear, then select per agent type
+            # project with every type's linear, then select per agent type.
+            # Selection = one-hot contraction over the tiny type axis — a
+            # take_along_axis here is a per-ELEMENT gather over the full
+            # (B,H,W,L,C) map, which XLA lowers catastrophically on TPU
+            # (~190 ms per call at camera scale, the profiled top cost of
+            # the whole V2X-ViT model)
             y = nn.DenseGeneral((nt, out_dim), name=name)(x)  # (B,H,W,L,nt,o)
-            t = agent_types[:, None, None, :, None, None]
-            t = jnp.broadcast_to(t, (b, h, w, l, 1, out_dim)).astype(jnp.int32)
-            return jnp.take_along_axis(y, t, axis=4)[..., 0, :]
+            return jnp.einsum("bhwlno,bln->bhwlo", y, type_onehot)
 
         q = typed_proj("q_typed", inner)
         k = typed_proj("k_typed", inner)
@@ -79,12 +85,9 @@ class HGTCavAttention(nn.Module):
         out = jnp.einsum("bhwmij,bhwijme->bhwime", attn, vmsg)
         out = out.reshape(b, h, w, l, inner)
 
-        # typed output projection
+        # typed output projection (same one-hot contraction as typed_proj)
         dense_out = nn.DenseGeneral((nt, self.dim), name="out_typed")(out)
-        t = jnp.broadcast_to(
-            agent_types[:, None, None, :, None, None], (b, h, w, l, 1, self.dim)
-        ).astype(jnp.int32)
-        return jnp.take_along_axis(dense_out, t, axis=4)[..., 0, :]
+        return jnp.einsum("bhwlno,bln->bhwlo", dense_out, type_onehot)
 
 
 class WindowAttention(nn.Module):

@@ -256,8 +256,12 @@ class HeterModel(nn.Module):
                 gc = margs["encoder_args"]["grid_conf"]
                 ratio_w = self.lidar_range[3] / gc["xbound"][1]
                 ratio_h = self.lidar_range[4] / gc["ybound"][1]
-                th = int(feat.shape[2] * ratio_h)
-                tw = int(feat.shape[3] * ratio_w)
+                # round, don't truncate: 100.8/51.2 is 1.96874999... in
+                # binary fp, and int() would shear one column off odd
+                # DAIR-sized grids (126 -> 125), breaking the cross-modality
+                # feature sum
+                th = int(round(feat.shape[2] * ratio_h))
+                tw = int(round(feat.shape[3] * ratio_w))
                 feat = center_crop_or_pad(feat, (th, tw))
                 if depth_logits is not None:
                     out[f"depth_items_{mname}"] = depth_logits

@@ -1,0 +1,158 @@
+"""Benchmark the five BASELINE.json configs end-to-end on the device.
+
+Parity anchor: BASELINE.json's config list —
+  1. PointPillars single-agent late fusion (OPV2V)
+  2. PointPillars + attentive fusion intermediate (OPV2V)
+  3. Lift-Splat-Shoot camera BEV + V2X-ViT fusion (OPV2V camera)
+  4. Heterogeneous lidar+camera agents with BackAlign (OPV2V-H)
+     (pillar base; the SECOND-base variant is
+      configs/opv2v/baselines/stage2/backalign/m1m3_att.yaml)
+  5. GenComm hetero collaboration (DAIR-V2X-C ranges)
+
+Each row: build the SHIPPED config, synthesize a config-shaped batch
+(scene points for lidar modalities, random camera stacks for LSS), run the
+full InferencePipeline (model + decode + rotated NMS on device), report
+steady-state frames/sec with device-resident RNG keys.
+
+Usage: python -m gencomm_tpu.tools.bench_matrix [--iters 20] [--configs ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+DEFAULT_CONFIGS = [
+    ("pp_late_opv2v", "configs/opv2v/point_pillar_late_fusion.yaml", "late"),
+    ("pp_att_opv2v", "configs/opv2v/point_pillar_att.yaml", "intermediate"),
+    ("lss_v2xvit_opv2v", "configs/opv2v/camera_only/camera_v2xvit.yaml",
+     "intermediate"),
+    ("backalign_m1m2_opv2v", "configs/opv2v/backalign_m1m2.yaml",
+     "intermediate"),
+    ("gencomm_s2_dairv2x", "configs/dairv2x/gencomm_stage2_m1m2.yaml",
+     "intermediate"),
+]
+
+
+def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
+                              seed: int = 0, points_per_agent: int = 20000):
+    """Build a (B=1, L) batch matching the hypes' modality layout: scene
+    point clouds for lidar modalities (via SyntheticScenes at the config's
+    range), random camera stacks at the config's final_dim for LSS."""
+    from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+
+    lidar_range = tuple(hypes["preprocess"]["cav_lidar_range"])
+    max_cav = hypes["train_params"]["max_cav"]
+    cfg = SyntheticConfig(lidar_range=lidar_range, max_cav=max_cav,
+                          num_agents=num_agents,
+                          points_per_agent=points_per_agent)
+    scenes = SyntheticScenes(cfg)
+    base = scenes.sample(seed, 1)
+    rng = np.random.default_rng(seed)
+
+    margs = hypes["model"]["args"]
+    modalities = [k for k in margs
+                  if isinstance(margs[k], dict) and "encoder_args" in margs[k]]
+    batch = {k: v for k, v in base.items()
+             if not (k.endswith("_m1") and k.startswith(
+                 ("points", "point_mask", "modality_mask")))}
+    for m in modalities:
+        mcfg = margs[m]
+        batch[f"modality_mask_{m}"] = base["modality_mask_m1"].copy()
+        if mcfg.get("sensor_type", "lidar") == "camera":
+            enc = mcfg["encoder_args"]
+            h, w = enc["data_aug_conf"]["final_dim"]
+            ncam = enc["data_aug_conf"].get("Ncams", 4)
+            L = max_cav
+            batch[f"imgs_{m}"] = rng.uniform(
+                0, 1, (1, L, ncam, h, w, 3)).astype(np.float32)
+            batch[f"rots_{m}"] = np.tile(
+                np.eye(3, dtype=np.float32), (1, L, ncam, 1, 1))
+            batch[f"trans_{m}"] = np.zeros((1, L, ncam, 3), np.float32)
+            intr = np.array([[400.0, 0, w / 2], [0, 400.0, h / 2],
+                             [0, 0, 1]], np.float32)
+            batch[f"intrins_{m}"] = np.tile(intr, (1, L, ncam, 1, 1))
+            batch[f"post_rots_{m}"] = np.tile(
+                np.eye(3, dtype=np.float32), (1, L, ncam, 1, 1))
+            batch[f"post_trans_{m}"] = np.zeros((1, L, ncam, 3), np.float32)
+        else:
+            batch[f"points_{m}"] = base["points_m1"].copy()
+            batch[f"point_mask_{m}"] = base["point_mask_m1"].copy()
+    # host decoration for pillar modalities (the loader's production path)
+    from gencomm_tpu.data.decorate import host_decorate_pillars
+
+    batch = host_decorate_pillars(batch, hypes)
+    return scenes, batch
+
+
+def bench_config(name: str, path: str, mode: str, iters: int = 20):
+    from gencomm_tpu.config.yaml_utils import load_yaml
+    from gencomm_tpu.models import create_model
+    from gencomm_tpu.data.postprocessor import generate_anchor_box
+    from gencomm_tpu.train.trainer import cpu_init
+    from gencomm_tpu.pipeline import InferencePipeline
+
+    hypes = load_yaml(path)
+    model = create_model(hypes)
+    scenes, host = synthetic_batch_for_hypes(hypes)
+    if mode in ("late", "no"):
+        hypes["model"]["args"]["supervise_single"] = True
+        model = create_model(hypes)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    variables = jax.device_put(
+        cpu_init(model, host, jax.random.PRNGKey(0), train=False),
+        jax.devices()[0],
+    )
+    anchors = generate_anchor_box(hypes["postprocess"]["anchor_args"],
+                                  hypes["postprocess"].get("order", "hwl"))
+    pipe = InferencePipeline(model, variables, anchors,
+                             hypes["postprocess"], mode=mode)
+    keys = jax.jit(lambda k: jax.random.split(k, iters))(
+        jax.device_put(jax.random.PRNGKey(1)))
+    keys = [keys[i] for i in range(iters)]
+    jax.block_until_ready(keys)
+    t0 = time.perf_counter()
+    dets = pipe._run(pipe.variables, batch, keys[0])
+    jax.block_until_ready(dets.scores)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        dets = pipe._run(pipe.variables, batch, keys[i])
+    jax.block_until_ready(dets.scores)
+    dt = (time.perf_counter() - t0) / iters
+    row = {"config": name, "yaml": path, "mode": mode,
+           "fps": round(1.0 / dt, 2), "ms_per_frame": round(dt * 1e3, 2),
+           "compile_s": round(compile_s, 1)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main(argv=None):
+    import gencomm_tpu
+
+    gencomm_tpu.enable_persistent_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of config names")
+    args = ap.parse_args(argv)
+    rows = []
+    for name, path, mode in DEFAULT_CONFIGS:
+        if args.only and name not in args.only.split(","):
+            continue
+        try:
+            rows.append(bench_config(name, path, mode, args.iters))
+        except Exception as e:  # keep the matrix running
+            print(json.dumps({"config": name, "error": repr(e)[:300]}),
+                  flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -134,7 +134,19 @@ def main(argv=None):
     model = create_model(hypes)
     dataset = build_dataset(hypes, False, args.dataset)
     if args.dataset == "synthetic":
-        host = dataset.sample(0, 1)
+        margs = hypes["model"].get("args", {})
+        has_camera = any(isinstance(m, dict)
+                         and m.get("sensor_type") == "camera"
+                         for m in margs.values())
+        if has_camera:
+            # config-shaped batch (camera stacks + per-modality points)
+            from gencomm_tpu.tools.bench_matrix import (
+                synthetic_batch_for_hypes,
+            )
+
+            _, host = synthetic_batch_for_hypes(hypes)
+        else:
+            host = dataset.sample(0, 1)
     else:
         host = dataset.collate([dataset[0]])
     if not args.no_host_decorate:
