@@ -164,13 +164,13 @@ void decorate_pillars(const float* points, int64_t n_points,
     // scatter-max consumers are order-insensitive, so this is free.
     std::vector<int64_t> perm(n_points);
     for (int64_t p = 0; p < n_points; ++p)
-        perm[p] = ((int64_t)out_gids[p] << 24) | p;  // stable: idx in low bits
+        perm[p] = ((int64_t)out_gids[p] << 32) | p;  // stable: idx in low bits
     std::sort(perm.begin(), perm.end());
     std::vector<int32_t> gids_sorted(n_points);
     std::vector<uint8_t> valid_sorted(n_points);
     for (int64_t r = 0; r < n_points; ++r) {
-        const int64_t p = perm[r] & ((1 << 24) - 1);
-        const int32_t cell32 = (int32_t)(perm[r] >> 24);
+        const int64_t p = perm[r] & 0xFFFFFFFFll;
+        const int32_t cell32 = (int32_t)(perm[r] >> 32);
         gids_sorted[r] = cell32;
         valid_sorted[r] = out_valid[p];
         const float* pt = points + p * 4;

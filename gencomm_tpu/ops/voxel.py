@@ -144,8 +144,10 @@ def scatter_pillar_max_flat(point_feats, gids, valid, n_agents: int,
 
     point_feats: (A*P, C); ``occupancy``: optional per-cell counts from
     pillar_decorate_flat (avoids a second scatter pass). Pass
-    ``indices_are_sorted=True`` when gids come from pillar_decorate_flat
-    (which sorts by cell id) — the sorted-scatter fast path.
+    ``indices_are_sorted=True`` ONLY when gids are genuinely sorted per
+    agent (e.g. from the host C++ decorator, native/voxelizer.cpp) —
+    pillar_decorate_flat does NOT sort (see its NOTE); a violated
+    sortedness contract silently corrupts the canvas.
     Returns (A, ny, nx, C), empty pillars = 0.
     """
     ncell = nx * ny

@@ -41,7 +41,8 @@ DEFAULT_CONFIGS = [
 
 
 def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
-                              seed: int = 0, points_per_agent: int = 20000):
+                              seed: int = 0, points_per_agent: int = 20000,
+                              host_decorate: bool = True):
     """Build a (B=1, L) batch matching the hypes' modality layout: scene
     point clouds for lidar modalities (via SyntheticScenes at the config's
     range), random camera stacks at the config's final_dim for LSS."""
@@ -84,10 +85,12 @@ def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
         else:
             batch[f"points_{m}"] = base["points_m1"].copy()
             batch[f"point_mask_{m}"] = base["point_mask_m1"].copy()
-    # host decoration for pillar modalities (the loader's production path)
-    from gencomm_tpu.data.decorate import host_decorate_pillars
+    if host_decorate:
+        # host decoration for pillar modalities (the loader's production
+        # path)
+        from gencomm_tpu.data.decorate import host_decorate_pillars
 
-    batch = host_decorate_pillars(batch, hypes)
+        batch = host_decorate_pillars(batch, hypes)
     return scenes, batch
 
 

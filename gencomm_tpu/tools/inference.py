@@ -68,7 +68,18 @@ def main(argv=None):
         hypes["postprocess"]["gt_range"] = list(rng_)
         for setting in hypes.get("heter", {}).get(
                 "modality_setting", {}).values():
-            setting.get("preprocess", {})["cav_lidar_range"] = list(rng_)
+            setting.setdefault("preprocess", {})["cav_lidar_range"] = \
+                list(rng_)
+        # the MODEL's BEV grids must follow too (the encoders build their
+        # canvas from args.lidar_range; anchors at the new range against
+        # heads at the old grid would shape-mismatch in decode)
+        margs = hypes["model"].get("args", {})
+        if "lidar_range" in margs:
+            margs["lidar_range"] = list(rng_)
+        for mcfg in margs.values():
+            if isinstance(mcfg, dict) and "encoder_args" in mcfg:
+                if "lidar_range" in mcfg["encoder_args"]:
+                    mcfg["encoder_args"]["lidar_range"] = list(rng_)
         hypes = update_yaml(hypes)
     if args.pos_std or args.rot_std:
         hypes["noise_setting"] = {

@@ -144,7 +144,8 @@ def main(argv=None):
                 synthetic_batch_for_hypes,
             )
 
-            _, host = synthetic_batch_for_hypes(hypes)
+            _, host = synthetic_batch_for_hypes(
+                hypes, host_decorate=not args.no_host_decorate)
         else:
             host = dataset.sample(0, 1)
     else:

@@ -256,7 +256,18 @@ def main(argv=None):
     eval_fn = trainer.make_eval_step(model, criterion)
     epochs = args.epochs or hypes["train_params"]["epoches"]
     eval_freq = hypes["train_params"].get("eval_freq", 1)
+    # bestval must be selected on the HELD-OUT split (reference
+    # train.py:169-214 validates on validate_dir), and must survive
+    # auto-resume: the running best val loss is persisted next to the
+    # checkpoint so a resumed run cannot overwrite a better bestval
+    val_dataset = build_dataset(hypes, False, args.dataset)
     best_val = float("inf")
+    best_path = os.path.join(model_dir, "bestval.json")
+    if os.path.exists(best_path):
+        import json as _json
+
+        with open(best_path) as f:
+            best_val = float(_json.load(f).get("val_loss", float("inf")))
     from gencomm_tpu.train.metrics import MetricsLogger
 
     metrics = MetricsLogger(model_dir)
@@ -285,7 +296,7 @@ def main(argv=None):
         # validation + rolling bestval (reference train.py:169-214: val
         # loss each eval_freq epochs, single bestval checkpoint)
         if args.val_steps > 0 and (epoch + 1) % eval_freq == 0:
-            vgen = batches(dataset, batch_size, 99000 + epoch % 1000,
+            vgen = batches(val_dataset, batch_size, 99000 + epoch % 1000,
                            args.dataset)
             vtotal, vn = 0.0, 0
             for vit in range(args.val_steps):
@@ -307,6 +318,11 @@ def main(argv=None):
                     best_val = vavg
                     bpath = checkpoint.save_bestval(model_dir, state,
                                                     epoch + 1)
+                    import json as _json
+
+                    with open(best_path, "w") as f:
+                        _json.dump({"val_loss": best_val,
+                                    "epoch": epoch + 1}, f)
                     print(f"new bestval -> {bpath}", flush=True)
     checkpoint.save_checkpoint(model_dir, state, step=epochs)
     metrics.close()

@@ -53,16 +53,14 @@ def latest_checkpoint(model_dir: str) -> str | None:
 
 
 def save_bestval(path: str, state: Any, epoch: int) -> str:
-    """Single ROLLING bestval checkpoint: the previous bestval_at_* is
-    removed first (reference: one net_epoch_bestval_at%d.pth, stale copies
-    deduplicated — train.py:190-205, train_ddp.py:258-268)."""
+    """Single ROLLING bestval checkpoint (reference: one
+    net_epoch_bestval_at%d.pth, stale copies deduplicated —
+    train.py:190-205, train_ddp.py:258-268). The new checkpoint is written
+    FIRST and stale ones removed after, so a crash mid-save never leaves
+    the run without any bestval."""
     import shutil
 
     path = os.path.abspath(path)
-    if os.path.isdir(path):
-        for d in os.listdir(path):
-            if d.startswith("bestval_at_"):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     ckpt = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -70,6 +68,10 @@ def save_bestval(path: str, state: Any, epoch: int) -> str:
     }
     target = os.path.join(path, f"bestval_at_{epoch}")
     ocp.PyTreeCheckpointer().save(target, ckpt, force=True)
+    for d in os.listdir(path):
+        if d.startswith("bestval_at_") and \
+                os.path.join(path, d) != target:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return target
 
 

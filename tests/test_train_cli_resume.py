@@ -28,7 +28,9 @@ TINY_HYPES = {
         "gt_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
         "anchor_args": {"cav_lidar_range": [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0],
                         "l": 3.9, "w": 1.6, "h": 1.56, "r": [0, 90],
-                        "feature_stride": 8, "num": 2},
+                        # the tiny backbone ([2,2] strides, [1,2] upsample,
+                        # stride-2 shrink) has a true output stride of 4
+                        "feature_stride": 4, "num": 2},
         "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
                         "score_threshold": 0.2},
         "order": "hwl", "max_num": 16, "nms_thresh": 0.15,
@@ -321,3 +323,28 @@ def test_metrics_logger(tmp_path):
              open(tmp_path / "metrics.jsonl").read().splitlines()]
     assert lines[0]["train/total_loss"] == 1.5
     assert lines[1]["val/total_loss"] == 1.2 and lines[1]["step"] == 10
+
+
+@pytest.mark.slow
+def test_bestval_survives_resume(tmp_path, capsys):
+    """A resumed run must not overwrite a better existing bestval: the
+    best val loss is persisted in bestval.json (review finding — best_val
+    used to reset to inf on every invocation)."""
+    import json
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.train import checkpoint
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(TINY_HYPES))
+    model_dir = str(tmp_path / "run")
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "1",
+                    "--steps_per_epoch", "2", "--val_steps", "1"])
+    best1 = checkpoint.bestval_checkpoint(model_dir)
+    # pretend the recorded best is unbeatable
+    with open(os.path.join(model_dir, "bestval.json"), "w") as f:
+        json.dump({"val_loss": 0.0, "epoch": 1}, f)
+    train_cli.main(["-y", str(cfg_path), "--model_dir", model_dir,
+                    "--dataset", "synthetic", "--epochs", "2",
+                    "--steps_per_epoch", "2", "--val_steps", "1"])
+    assert checkpoint.bestval_checkpoint(model_dir) == best1
