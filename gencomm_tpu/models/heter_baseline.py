@@ -63,6 +63,7 @@ class ModalityBranch(nn.Module):
                 downsample=self.encoder_args.get("img_downsample", 8),
                 feat_ch=self.encoder_args.get("img_features", 128),
                 trunk_blocks=self.encoder_args.get("trunk_blocks", 2),
+                depth_topk=self.encoder_args.get("depth_topk", 0),
                 name="encoder",
             )
             canvas, depth_logits = enc(inputs, train)

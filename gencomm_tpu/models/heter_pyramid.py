@@ -151,6 +151,7 @@ class HeterPyramidModel(nn.Module):
                 ),
                 downsample=margs["encoder_args"].get("img_downsample", 8),
                 feat_ch=margs["encoder_args"].get("img_features", 128),
+                depth_topk=margs["encoder_args"].get("depth_topk", 0),
                 name=f"encoder_{mname}",
             )
             canvas, depth_logits = enc(inputs, train)

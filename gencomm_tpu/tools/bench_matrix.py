@@ -85,6 +85,13 @@ def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
         else:
             batch[f"points_{m}"] = base["points_m1"].copy()
             batch[f"point_mask_{m}"] = base["point_mask_m1"].copy()
+    # agent-slot bucketing, same as bench.py: the reference's record_len
+    # layout pays only for real agents; the static-shape equivalent is a
+    # per-bucket compilation trimmed to the smallest bucket holding the
+    # frame's agents
+    from gencomm_tpu.data.bucketing import trim_agent_slots
+
+    batch = trim_agent_slots(batch, buckets=(2, 3, 5))
     if host_decorate:
         # host decoration for pillar modalities (the loader's production
         # path)

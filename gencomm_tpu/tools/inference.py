@@ -143,6 +143,11 @@ def main(argv=None):
                     mm = host[k].copy()
                     mm[:, args.use_cav:] = False
                     host[k] = mm
+        # agent-slot bucketing: one compilation per bucket size, skip the
+        # compute of empty padded slots (record_len parity, see bench.py)
+        from gencomm_tpu.data.bucketing import trim_agent_slots
+
+        host = trim_agent_slots(host, buckets=(2, 3, 5))
         batch = {k: jnp.asarray(v) for k, v in host.items()}
         dets = pipe.run(batch, seed=f)
         valid = np.asarray(dets.valid[0])

@@ -141,6 +141,7 @@ def camera_branch(lidar_range, deep=False):
                          "data_aug_conf": cm["data_aug_conf"],
                          "img_downsample": 8, "img_features": 128,
                          "trunk_blocks": 4 if deep else 2,
+                         "depth_topk": 8,
                          "lidar_range": list(lidar_range)},
         "camera_mask_args": {"grid_conf": cm["grid_conf"]},
         "backbone_args": {"layer_nums": [3, 5, 8],

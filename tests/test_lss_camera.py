@@ -108,6 +108,42 @@ def test_lss_encoder_output_and_pooling():
     assert float(jnp.abs(bev).sum()) > 0
 
 
+def test_lss_topk_splat_matches_dense():
+    """depth_topk=D renormalizes by a sum that is already 1 -> the sparse
+    splat must reproduce the dense splat; small K stays close because the
+    dropped bins carry the least mass."""
+    rng = np.random.RandomState(3)
+    cams = {k: jnp.asarray(v) for k, v in _camera_inputs(1, 2, rng).items()}
+    d_bins = GRID_CONF["ddiscr"][2]
+    dense = LSSEncoder(grid_conf=GRID_CONF, final_dim=FINAL_DIM,
+                       downsample=8, feat_ch=8, depth_topk=0)
+    v = jax.jit(lambda: dense.init(jax.random.PRNGKey(0), cams, False))()
+
+    bev_dense, _ = jax.jit(lambda v: dense.apply(v, cams, False))(v)
+    full_k = LSSEncoder(grid_conf=GRID_CONF, final_dim=FINAL_DIM,
+                        downsample=8, feat_ch=8, depth_topk=d_bins)
+    # depth_topk == d_bins runs the sparse path over every bin: identical
+    # result up to scatter-order fp noise
+    bev_full, _ = jax.jit(lambda v: full_k.apply(v, cams, False))(v)
+    np.testing.assert_allclose(np.asarray(bev_full), np.asarray(bev_dense),
+                               rtol=1e-5, atol=1e-5)
+
+    sparse = LSSEncoder(grid_conf=GRID_CONF, final_dim=FINAL_DIM,
+                        downsample=8, feat_ch=8, depth_topk=d_bins - 1)
+    bev_sparse, _ = jax.jit(lambda v: sparse.apply(v, cams, False))(v)
+    # untrained softmax is near-uniform, so K=D-1 keeps (D-1)/D of the mass
+    # and renormalizes — totals must agree to a few percent
+    dense_sum = float(jnp.abs(bev_dense).sum())
+    sparse_sum = float(jnp.abs(bev_sparse).sum())
+    assert abs(sparse_sum - dense_sum) / dense_sum < 0.1
+    # gradients flow through the top-k gather
+    g = jax.grad(
+        lambda v: sparse.apply(v, cams, False)[0].sum()
+    )(v)
+    leaf = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaf)
+
+
 def test_center_crop_or_pad():
     x = jnp.ones((2, 4, 6, 3))
     y = center_crop_or_pad(x, (8, 4))
