@@ -44,6 +44,16 @@ class SyntheticConfig:
     # supervise_single / 2-stage-dataset label path,
     # intermediate_heter_fusion_dataset.py label_dict_single)
     per_agent_labels: bool = False
+    # heterogeneous modality layout: name -> {"sensor": "lidar"} or
+    # {"sensor": "camera", "final_dim": (H, W), "ncam": 4, "focal": f}.
+    # Agent slots are assigned round-robin over the listed modalities
+    # (ego gets the first, the reference's ego-modality-first convention,
+    # heter_utils.reorder_cav_list). Camera agents get geometrically
+    # consistent rendered images (see _render_cams) so the LSS path is
+    # learnable, not just shape-checked.
+    modalities: dict = field(
+        default_factory=lambda: {"m1": {"sensor": "lidar"}}
+    )
 
 
 class SyntheticScenes:
@@ -85,14 +95,91 @@ class SyntheticScenes:
         pz = z + lz
         return np.stack([px, py, pz], axis=1)
 
+    def _render_cams(self, rng, veh_world, veh_color, ground_world,
+                     world_to_agent, camcfg):
+        """Project scene points into ``ncam`` pinhole cameras ringed around
+        the agent (painter's algorithm) — a geometrically consistent render
+        so categorical-depth LSS has real signal to learn from."""
+        h, w = camcfg.get("final_dim", (384, 512))
+        ncam = int(camcfg.get("ncam", 4))
+        f = float(camcfg.get("focal",
+                             0.5 * w / np.tan(np.radians(50.0))))
+        cam_h = 1.5
+        imgs = rng.uniform(0, 0.08, (ncam, h, w, 3)).astype(np.float32)
+        rots = np.zeros((ncam, 3, 3), np.float32)
+        trans = np.tile(np.array([0.0, 0.0, cam_h], np.float32), (ncam, 1))
+        K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+        intrins = np.tile(K, (ncam, 1, 1))
+
+        def to_agent(pts_world):
+            hom = np.concatenate(
+                [pts_world, np.ones((len(pts_world), 1))], 1)
+            return (hom @ world_to_agent.T)[:, :3].astype(np.float32)
+
+        veh_local = to_agent(veh_world)
+        gnd_local = to_agent(ground_world)
+        for k in range(ncam):
+            yaw = 2 * np.pi * k / ncam
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            # camera axes in the agent frame: z forward along the view
+            # direction, x right, y down (pinhole convention the LSS
+            # frustum unprojection assumes)
+            R = np.array([[sy, 0, cy],
+                          [-cy, 0, sy],
+                          [0, -1, 0]], np.float32)  # columns x_cam,y_cam,z_cam
+            rots[k] = R
+            for pts, vals in ((gnd_local, None), (veh_local, veh_color)):
+                pc = (pts - trans[k]) @ R  # rows -> camera coords
+                z = pc[:, 2]
+                keep = z > 1.0
+                u = (f * pc[:, 0] / np.maximum(z, 1e-3) + w / 2).astype(
+                    np.int32)
+                v = (f * pc[:, 1] / np.maximum(z, 1e-3) + h / 2).astype(
+                    np.int32)
+                keep &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+                idx = np.nonzero(keep)[0]
+                # painter: far first so near points overwrite
+                idx = idx[np.argsort(-z[idx])]
+                depth_val = np.exp(-z[idx] / 40.0).astype(np.float32)
+                if vals is None:
+                    imgs[k, v[idx], u[idx]] = np.stack(
+                        [np.full_like(depth_val, 0.15), depth_val,
+                         np.full_like(depth_val, 0.1)], axis=1)
+                else:
+                    imgs[k, v[idx], u[idx]] = np.stack(
+                        [np.ones_like(depth_val), depth_val,
+                         vals[idx].astype(np.float32)], axis=1)
+        return imgs, rots, trans, intrins
+
     def sample(self, seed: int, batch_size: int = 1) -> dict:
         """Generate a batch dict of numpy arrays (model inputs + labels +
         eval GT)."""
         rng = np.random.RandomState(seed)
         c = self.cfg
         B, L, P = batch_size, c.max_cav, c.points_per_agent
-        points = np.zeros((B, L, P, 4), np.float32)
-        point_mask = np.zeros((B, L, P), bool)
+        mod_names = list(c.modalities)
+        cam_mods = {m: mc for m, mc in c.modalities.items()
+                    if mc.get("sensor", "lidar") == "camera"}
+        lidar_mods = [m for m in mod_names if m not in cam_mods]
+        points_mod = {m: np.zeros((B, L, P, 4), np.float32)
+                      for m in lidar_mods}
+        point_mask_mod = {m: np.zeros((B, L, P), bool) for m in lidar_mods}
+        modality_mask = {m: np.zeros((B, L), bool) for m in mod_names}
+        cam_arrays = {}
+        for m, mc in cam_mods.items():
+            h, w = mc.get("final_dim", (384, 512))
+            ncam = int(mc.get("ncam", 4))
+            cam_arrays[m] = {
+                "imgs": np.zeros((B, L, ncam, h, w, 3), np.float32),
+                "rots": np.tile(np.eye(3, dtype=np.float32),
+                                (B, L, ncam, 1, 1)),
+                "trans": np.zeros((B, L, ncam, 3), np.float32),
+                "intrins": np.tile(np.eye(3, dtype=np.float32),
+                                   (B, L, ncam, 1, 1)),
+                "post_rots": np.tile(np.eye(3, dtype=np.float32),
+                                     (B, L, ncam, 1, 1)),
+                "post_trans": np.zeros((B, L, ncam, 3), np.float32),
+            }
         agent_mask = np.zeros((B, L), bool)
         pairwise = np.tile(np.eye(4, dtype=np.float32), (B, L, L, 1, 1))
         pos = np.zeros((B,) + self.anchors.shape[:3], np.float32)
@@ -132,11 +219,34 @@ class SyntheticScenes:
             gt_mask[b, :nv] = 1.0
 
             for i in range(na):
+                mk = mod_names[i % len(mod_names)]
+                modality_mask[mk][b, i] = True
                 world_to_agent = np.linalg.inv(x_to_world(poses[i]))
                 pts_list = [
                     self._sample_vehicle_points(rng, boxes[v]) for v in range(nv)
                 ]
                 veh = np.concatenate(pts_list, 0)
+                if mk in cam_mods:
+                    veh_color = np.repeat(
+                        0.3 + 0.7 * ((np.arange(nv) * 37) % 100) / 100.0,
+                        c.points_per_vehicle,
+                    )
+                    ground = np.stack(
+                        [rng.uniform(c.lidar_range[0], c.lidar_range[3], 2048),
+                         rng.uniform(c.lidar_range[1], c.lidar_range[4], 2048),
+                         rng.uniform(-2.0, -1.9, 2048)],
+                        axis=1,
+                    )
+                    imgs, rots, trans, intrins = self._render_cams(
+                        rng, veh, veh_color, ground, world_to_agent,
+                        cam_mods[mk],
+                    )
+                    ca = cam_arrays[mk]
+                    ca["imgs"][b, i] = imgs
+                    ca["rots"][b, i] = rots
+                    ca["trans"][b, i] = trans
+                    ca["intrins"][b, i] = intrins
+                    continue
                 nground = P - len(veh)
                 ground = np.stack(
                     [
@@ -149,9 +259,9 @@ class SyntheticScenes:
                 allpts = np.concatenate([veh, ground], 0)
                 hom = np.concatenate([allpts, np.ones((P, 1))], 1)
                 local = (hom @ world_to_agent.T)[:, :3]
-                points[b, i, :, :3] = local
-                points[b, i, :, 3] = rng.uniform(0, 1, P)
-                point_mask[b, i] = True
+                points_mod[mk][b, i, :, :3] = local
+                points_mod[mk][b, i, :, 3] = rng.uniform(0, 1, P)
+                point_mask_mod[mk][b, i] = True
 
             label = generate_label(
                 gt_boxes[b], gt_mask[b], self.anchors,
@@ -189,15 +299,20 @@ class SyntheticScenes:
         batch = {
             "agent_mask": agent_mask,
             "pairwise_t_matrix": pairwise,
-            "points_m1": points,
-            "point_mask_m1": point_mask,
-            "modality_mask_m1": agent_mask.copy(),
             "pos_equal_one": pos,
             "neg_equal_one": neg,
             "targets": targets,
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
+        for m in lidar_mods:
+            batch[f"points_{m}"] = points_mod[m]
+            batch[f"point_mask_{m}"] = point_mask_mod[m]
+            batch[f"modality_mask_{m}"] = modality_mask[m]
+        for m, ca in cam_arrays.items():
+            for k, v in ca.items():
+                batch[f"{k}_{m}"] = v
+            batch[f"modality_mask_{m}"] = modality_mask[m]
         if pos_single is not None:
             batch["pos_equal_one_single"] = pos_single
             batch["neg_equal_one_single"] = neg_single

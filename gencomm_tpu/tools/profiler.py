@@ -218,6 +218,34 @@ def main(argv=None):
             print(f"peak device memory: {peak / 2**20:.0f} MiB")
         result.update(train_ms=tlat["latency_ms"], peak_bytes=peak)
 
+        if args.trace is not None:
+            # trace the TRAIN step, threading the state through the loop
+            # (same dedupe caveat as the timing loop above)
+            import glob as _glob
+            import gzip as _gzip
+            import json as _json
+            import tempfile
+
+            tdir = tempfile.mkdtemp(prefix="gencomm_train_trace_")
+            jax.profiler.start_trace(tdir)
+            for i in range(3):
+                state, _ = step(state, batch, jax.random.PRNGKey(100 + i))
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            files = sorted(_glob.glob(
+                f"{tdir}/plugins/profile/*/*.trace.json.gz"))
+            if files:
+                with _gzip.open(files[-1], "rt") as f:
+                    ev = _json.load(f).get("traceEvents", [])
+                tot = {}
+                for e in ev:
+                    if e.get("ph") == "X" and "dur" in e:
+                        name = e.get("name", "?")
+                        tot[name] = tot.get(name, 0.0) + e["dur"]
+                print(f"train device trace written to {tdir}")
+                for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:20]:
+                    print(f"  {us / 3:10.0f} us/step  {name}")
+
     return result
 
 

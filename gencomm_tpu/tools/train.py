@@ -36,10 +36,27 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
             core.startswith(c) for c in
             ("ciassd", "second", "fpvrcnn", "point_pillar_uncertainty")
         )
+        # derive the modality layout from the hypes so camera / hetero
+        # configs get geometrically consistent synthetic inputs
+        modalities = {}
+        for name, m in margs.items():
+            if isinstance(m, dict) and "encoder_args" in m:
+                if m.get("sensor_type", "lidar") == "camera":
+                    dac = m["encoder_args"]["data_aug_conf"]
+                    modalities[name] = {
+                        "sensor": "camera",
+                        "final_dim": tuple(dac["final_dim"]),
+                        "ncam": int(dac.get("Ncams", 4)),
+                    }
+                else:
+                    modalities[name] = {"sensor": "lidar"}
+        if not modalities:
+            modalities = {"m1": {"sensor": "lidar"}}
         cfg = SyntheticConfig(
             lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),
             max_cav=hypes["train_params"]["max_cav"],
             per_agent_labels=needs_single,
+            modalities=modalities,
         )
         return SyntheticScenes(cfg)
     if dataset == "dairv2x":
