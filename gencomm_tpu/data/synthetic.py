@@ -54,6 +54,12 @@ class SyntheticConfig:
     modalities: dict = field(
         default_factory=lambda: {"m1": {"sensor": "lidar"}}
     )
+    # cap vehicle spawn distance from the ego (0 = anywhere in lidar_range).
+    # Camera-labelled configs (label_type: camera) set this to the depth
+    # discretization's d_max so every GT box is physically visible — the
+    # synthetic analog of the reference's camera-visible GT filtering
+    # (base_postprocessor.generate_visible_object_center:614).
+    max_spawn_radius: float = 0.0
 
 
 class SyntheticScenes:
@@ -106,6 +112,9 @@ class SyntheticScenes:
                              0.5 * w / np.tan(np.radians(50.0))))
         cam_h = 1.5
         imgs = rng.uniform(0, 0.08, (ncam, h, w, 3)).astype(np.float32)
+        # dense GT depth per pixel (CARLA depth-camera analog: background /
+        # sky is "very far", later clamped to the last depth bin)
+        depths = np.full((ncam, h, w), 1000.0, np.float32)
         rots = np.zeros((ncam, 3, 3), np.float32)
         trans = np.tile(np.array([0.0, 0.0, cam_h], np.float32), (ncam, 1))
         K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
@@ -149,7 +158,8 @@ class SyntheticScenes:
                     imgs[k, v[idx], u[idx]] = np.stack(
                         [np.ones_like(depth_val), depth_val,
                          vals[idx].astype(np.float32)], axis=1)
-        return imgs, rots, trans, intrins
+                depths[k, v[idx], u[idx]] = z[idx].astype(np.float32)
+        return imgs, rots, trans, intrins, depths
 
     def sample(self, seed: int, batch_size: int = 1) -> dict:
         """Generate a batch dict of numpy arrays (model inputs + labels +
@@ -170,6 +180,7 @@ class SyntheticScenes:
             h, w = mc.get("final_dim", (384, 512))
             ncam = int(mc.get("ncam", 4))
             cam_arrays[m] = {
+                "depths": np.zeros((B, L, ncam, h, w), np.float32),
                 "imgs": np.zeros((B, L, ncam, h, w, 3), np.float32),
                 "rots": np.tile(np.eye(3, dtype=np.float32),
                                 (B, L, ncam, 1, 1)),
@@ -209,6 +220,20 @@ class SyntheticScenes:
             boxes = np.zeros((nv, 7), np.float32)
             boxes[:, 0] = rng.uniform(c.lidar_range[0] * 0.9, c.lidar_range[3] * 0.9, nv)
             boxes[:, 1] = rng.uniform(c.lidar_range[1] * 0.9, c.lidar_range[4] * 0.9, nv)
+            if c.max_spawn_radius > 0:
+                # clamp to a visible radius around the ego (polar resample)
+                r = np.hypot(boxes[:, 0], boxes[:, 1])
+                far = r > c.max_spawn_radius
+                if far.any():
+                    nfar = int(far.sum())
+                    rr = rng.uniform(8.0, c.max_spawn_radius, nfar)
+                    th = rng.uniform(-np.pi, np.pi, nfar)
+                    boxes[far, 0] = np.clip(rr * np.cos(th),
+                                            c.lidar_range[0] * 0.9,
+                                            c.lidar_range[3] * 0.9)
+                    boxes[far, 1] = np.clip(rr * np.sin(th),
+                                            c.lidar_range[1] * 0.9,
+                                            c.lidar_range[4] * 0.9)
             boxes[:, 2] = rng.uniform(-1.2, -0.8, nv)
             boxes[:, 3] = rng.uniform(1.4, 1.8, nv)  # h
             boxes[:, 4] = rng.uniform(1.7, 2.1, nv)  # w
@@ -237,7 +262,7 @@ class SyntheticScenes:
                          rng.uniform(-2.0, -1.9, 2048)],
                         axis=1,
                     )
-                    imgs, rots, trans, intrins = self._render_cams(
+                    imgs, rots, trans, intrins, dmaps = self._render_cams(
                         rng, veh, veh_color, ground, world_to_agent,
                         cam_mods[mk],
                     )
@@ -246,6 +271,7 @@ class SyntheticScenes:
                     ca["rots"][b, i] = rots
                     ca["trans"][b, i] = trans
                     ca["intrins"][b, i] = intrins
+                    ca["depths"][b, i] = dmaps
                     continue
                 nground = P - len(veh)
                 ground = np.stack(

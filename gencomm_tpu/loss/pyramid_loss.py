@@ -60,13 +60,21 @@ class PointPillarDepthLoss(PointPillarLoss):
         found = False
         for k in depth_keys:
             item = output[k]
-            # (logits, gt_indices[, fg_mask]); entries without GT (pure
+            # (logits, gt_indices[, weight]); entries without GT (pure
             # inference) are skipped
             if not isinstance(item, (tuple, list)) or len(item) < 2:
                 continue
             logits, gt = item[0], item[1]
             per_px = categorical_depth_focal(logits, gt)
-            depth_loss = depth_loss + per_px.mean() * self.depth_weight
+            if len(item) >= 3:
+                # per-slot weight (fg_mask analog, point_pillar_depth_loss.py
+                # use_fg_mask; here: modality mask over padded agent slots) —
+                # masked mean so empty slots don't dilute the loss
+                w = jnp.broadcast_to(item[2], per_px.shape)
+                mean = (per_px * w).sum() / jnp.maximum(w.sum(), 1.0)
+            else:
+                mean = per_px.mean()
+            depth_loss = depth_loss + mean * self.depth_weight
             found = True
         if found:
             losses["depth_loss"] = depth_loss

@@ -31,6 +31,25 @@ from gencomm_tpu.utils.camera_utils import gen_dx_bx, depth_discretization
 from gencomm_tpu.models.layers import ConvBNReLU
 
 
+def bin_depth_indices(depth_map, mode: str, d_min: float, d_max: float,
+                      num_bins: int):
+    """Metric depth -> depth-bin indices (jnp; camera_utils.bin_depths with
+    target=True: clamp out-of-range / non-finite to the valid bin range).
+
+    Parity: opencood/utils/camera_utils.py bin_depths:137-183 (UD / LID).
+    """
+    if mode == "UD":
+        bin_size = (d_max - d_min) / num_bins
+        idx = (depth_map - d_min) / bin_size
+    elif mode == "LID":
+        bin_size = 2.0 * (d_max - d_min) / (num_bins * (1 + num_bins))
+        idx = -0.5 + 0.5 * jnp.sqrt(1.0 + 8.0 * (depth_map - d_min) / bin_size)
+    else:
+        raise NotImplementedError(mode)
+    idx = jnp.where(jnp.isfinite(idx), idx, float(num_bins - 1))
+    return jnp.clip(idx, 0, num_bins - 1).astype(jnp.int32)
+
+
 class ResBlock(nn.Module):
     ch: int
     stride: int = 1
@@ -177,6 +196,31 @@ class LSSEncoder(nn.Module):
         depth = depth.reshape(a, n, fh, fw, d_bins)
         feats = feats.reshape(a, n, fh, fw, -1)
 
+        canvas = self.splat(geom, depth, feats)
+        out = canvas.reshape((b, l) + canvas.shape[1:])
+        depth_logits = depth_logits.reshape(b, l, n, fh, fw, d_bins)
+        if "depths" in camera_inputs:
+            # GT depth maps (B, L, N, H, W): centre-sample every
+            # ``downsample`` pixels (lss_submodule.get_gt_depth_dist:67-85),
+            # bin, and pair with the logits so point_pillar_depth_loss fires
+            ds = self.downsample
+            d_min, d_max, n_bins = self.grid_conf["ddiscr"]
+            gt = camera_inputs["depths"][
+                ..., ds // 2 :: ds, ds // 2 :: ds
+            ]
+            gt = jnp.minimum(gt, float(d_max))
+            gt_idx = bin_depth_indices(
+                gt, self.grid_conf["mode"], float(d_min), float(d_max),
+                int(n_bins),
+            )  # (B, L, N, fH, fW)
+            return out, (depth_logits, gt_idx)
+        return out, depth_logits
+
+    def splat(self, geom, depth, feats):
+        """Categorical-depth splat: (A, N, D, fH, fW, 3) geometry +
+        factored (A, N, fH, fW, D) depth / (A, N, fH, fW, C) features ->
+        BEV canvas (A, ny, nx, C * nz). Pure geometry — no parameters."""
+        a = geom.shape[0]
         # voxel pooling: one flat segment_sum over BEV cell ids
         nx, ny, nz = int(self.nx_grid[0]), int(self.nx_grid[1]), int(self.nx_grid[2])
         gx = jnp.floor(
@@ -196,6 +240,7 @@ class LSSEncoder(nn.Module):
         # canvas id layout (z, y, x) per agent — final (ny, nx) after collapse
         cell = ((gz * ny + gy) * nx + gx)
         c_ch = feats.shape[-1]
+        d_bins = depth.shape[-1]
         k = min(self.depth_topk, d_bins) if self.depth_topk > 0 else 0
         if k:
             # sparse splat: per-pixel top-K depth bins, renormalized so the
@@ -241,11 +286,7 @@ class LSSEncoder(nn.Module):
         )[:-1]
         canvas = canvas.reshape(a, nz, ny, nx, -1)
         # collapse z by channel concat (reference unbind+cat, nz=1 in configs)
-        canvas = jnp.concatenate(
-            [canvas[:, i] for i in range(nz)], axis=-1
-        )
-        out = canvas.reshape(b, l, ny, nx, -1)
-        return out, depth_logits.reshape(b, l, n, fh, fw, d_bins)
+        return jnp.concatenate([canvas[:, i] for i in range(nz)], axis=-1)
 
 
 def center_crop_or_pad(x, target_hw: Tuple[int, int]):

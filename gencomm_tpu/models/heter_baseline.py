@@ -229,6 +229,8 @@ class HeterModel(nn.Module):
                     "post_rots": batch[f"post_rots_{mname}"],
                     "post_trans": batch[f"post_trans_{mname}"],
                 }
+                if f"depths_{mname}" in batch:
+                    inputs["depths"] = batch[f"depths_{mname}"]
             else:
                 if f"decorated_{mname}" in batch:
                     inputs = {
@@ -264,7 +266,18 @@ class HeterModel(nn.Module):
                 th = int(round(feat.shape[2] * ratio_h))
                 tw = int(round(feat.shape[3] * ratio_w))
                 feat = center_crop_or_pad(feat, (th, tw))
-                if depth_logits is not None:
+                if isinstance(depth_logits, tuple):
+                    # (logits, gt_indices) from the encoder when GT depth is
+                    # in the batch; append the per-slot modality mask so the
+                    # depth loss averages over REAL camera agents only
+                    # (the reference concatenates only actual camera CAVs —
+                    # our padded layout needs the explicit mask)
+                    logits, gt_idx = depth_logits
+                    wt = batch[f"modality_mask_{mname}"].astype(
+                        logits.dtype
+                    )[:, :, None, None, None]
+                    out[f"depth_items_{mname}"] = (logits, gt_idx, wt)
+                elif depth_logits is not None:
                     out[f"depth_items_{mname}"] = depth_logits
             feats[mname] = feat
             mmask = batch[f"modality_mask_{mname}"][..., None, None, None]

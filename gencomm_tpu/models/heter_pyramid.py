@@ -140,6 +140,8 @@ class HeterPyramidModel(nn.Module):
                 for k in ("imgs", "rots", "trans", "intrins", "post_rots",
                           "post_trans")
             }
+            if f"depths_{mname}" in batch:
+                inputs["depths"] = batch[f"depths_{mname}"]
             from gencomm_tpu.models.encoders.lss import (
                 LSSEncoder, center_crop_or_pad,
             )
@@ -155,7 +157,13 @@ class HeterPyramidModel(nn.Module):
                 name=f"encoder_{mname}",
             )
             canvas, depth_logits = enc(inputs, train)
-            if depth_logits is not None:
+            if isinstance(depth_logits, tuple):
+                logits, gt_idx = depth_logits
+                wt = batch[f"modality_mask_{mname}"].astype(
+                    logits.dtype
+                )[:, :, None, None, None]
+                out[f"depth_items_{mname}"] = (logits, gt_idx, wt)
+            elif depth_logits is not None:
                 out[f"depth_items_{mname}"] = depth_logits
         else:
             # reuse the lidar encoder dispatch from the baseline branch

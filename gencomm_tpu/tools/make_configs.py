@@ -285,6 +285,9 @@ def intermediate_fusion_config(dataset, method, lidar_range, tag="m1",
         tag, lidar_range)
     if tag in ("m2", "m4"):
         cfg["input_source"] = ["camera"]
+        # camera-ego configs use camera-visible GT labels (the reference's
+        # 50 `label_type: 'camera'` yamls, e.g. CameraOnly/camera_attfuse.yaml)
+        cfg["label_type"] = "camera"
         cfg["loss"] = detection_loss(
             "point_pillar_depth_loss", {"depth": {"weight": 1.0}})
     else:
@@ -422,6 +425,7 @@ def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
         tag, lidar_range)
     if tag in ("m2", "m4"):
         cfg["input_source"] = ["camera"]
+        cfg["label_type"] = "camera"
     args = {
         "ego_modality": "m1",
         "lidar_range": list(lidar_range),

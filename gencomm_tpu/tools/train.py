@@ -39,6 +39,7 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
         # derive the modality layout from the hypes so camera / hetero
         # configs get geometrically consistent synthetic inputs
         modalities = {}
+        spawn_radius = 0.0
         for name, m in margs.items():
             if isinstance(m, dict) and "encoder_args" in m:
                 if m.get("sensor_type", "lidar") == "camera":
@@ -48,6 +49,13 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
                         "final_dim": tuple(dac["final_dim"]),
                         "ncam": int(dac.get("Ncams", 4)),
                     }
+                    if hypes.get("label_type") == "camera":
+                        # camera-labelled configs: keep GT inside the depth
+                        # discretization so every box is physically visible
+                        # (the reference filters GT to camera-visible objects,
+                        # base_postprocessor.generate_visible_object_center)
+                        dmax = m["encoder_args"]["grid_conf"]["ddiscr"][1]
+                        spawn_radius = float(dmax) - 2.0
                 else:
                     modalities[name] = {"sensor": "lidar"}
         if not modalities:
@@ -57,6 +65,7 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
             max_cav=hypes["train_params"]["max_cav"],
             per_agent_labels=needs_single,
             modalities=modalities,
+            max_spawn_radius=spawn_radius,
         )
         return SyntheticScenes(cfg)
     if dataset == "dairv2x":

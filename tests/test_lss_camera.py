@@ -154,6 +154,110 @@ def test_center_crop_or_pad():
     assert z.shape == (2, 2, 2, 3)
 
 
+def test_bin_depth_indices_parity():
+    """GT depth binning matches the reference's bin_depths (target=True):
+    opencood/utils/camera_utils.py:137-183 — UD and LID modes, including
+    out-of-range clamping and non-finite handling."""
+    import os
+    import sys
+    import types
+    ref = "/root/reference"
+    if not os.path.isdir(os.path.join(ref, "opencood")):
+        pytest.skip("reference checkout not mounted")
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    # the reference module imports torchvision/PIL helpers at module scope;
+    # bin_depths itself only needs torch
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        class _Normalize:  # subclassed by the reference's NormalizeInverse
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        tv.transforms.Normalize = _Normalize
+        tv.transforms.Compose = lambda fs: (lambda x: x)
+        tv.transforms.ToTensor = lambda *a, **k: (lambda x: x)
+        tv.transforms.ToPILImage = lambda *a, **k: (lambda x: x)
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "shapely" not in sys.modules:
+        shap = types.ModuleType("shapely")
+        geom = types.ModuleType("shapely.geometry")
+        geom.Point = geom.MultiPoint = geom.Polygon = object
+        shap.geometry = geom
+        sys.modules["shapely"] = shap
+        sys.modules["shapely.geometry"] = geom
+    import torch
+    from opencood.utils.camera_utils import bin_depths
+
+    from gencomm_tpu.models.encoders.lss import bin_depth_indices
+
+    rng = np.random.RandomState(11)
+    depth = rng.uniform(-5.0, 60.0, (3, 16, 24)).astype(np.float32)
+    depth[0, 0, 0] = np.inf
+    depth[0, 0, 1] = np.nan
+    for mode in ("UD", "LID"):
+        want, _ = bin_depths(torch.from_numpy(depth.copy()), mode,
+                             2.0, 20.0, 16, target=True)
+        got = bin_depth_indices(jnp.asarray(depth), mode, 2.0, 20.0, 16)
+        np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+def test_depth_supervision_end_to_end():
+    """With GT depth maps in the batch, the encoder pairs logits with binned
+    GT and the depth loss fires with the per-slot modality-mask weight."""
+    from gencomm_tpu.loss.pyramid_loss import PointPillarDepthLoss
+
+    scenes = SyntheticScenes(TINY)
+    b = scenes.sample(seed=9, batch_size=1)
+    rng = np.random.RandomState(4)
+    m1_mask = b["agent_mask"].copy()
+    m1_mask[:, 1:] = False
+    m2_mask = b["agent_mask"].copy()
+    m2_mask[:, 0] = False
+    b["modality_mask_m1"] = m1_mask
+    b["modality_mask_m2"] = m2_mask
+    cams = _camera_inputs(1, TINY.max_cav, rng)
+    b.update({f"{k}_m2": v for k, v in cams.items()})
+    b["depths_m2"] = rng.uniform(1.0, 30.0, (1, TINY.max_cav, NCAM) +
+                                 FINAL_DIM).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    model = HeterModel(
+        modality_args={
+            "m1": dict(MODALITY_ARGS["m1"], core_method="point_pillar"),
+            "m2": M2_CAMERA_ARGS,
+        },
+        fusion_method="att",
+        fusion_args={"att": {"feat_dim": 64}},
+        lidar_range=TINY.lidar_range,
+        anchor_number=2,
+        in_head=64,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    out = model.apply(variables, batch, train=False)
+    item = out["depth_items_m2"]
+    assert isinstance(item, tuple) and len(item) == 3
+    logits, gt_idx, wt = item
+    assert logits.shape[:3] == (1, TINY.max_cav, NCAM)
+    assert gt_idx.shape == logits.shape[:-1]
+    assert gt_idx.dtype == jnp.int32
+
+    from tests.test_model_forward import LOSS_ARGS
+    crit = PointPillarDepthLoss(dict(LOSS_ARGS, depth={"weight": 1.0}))
+    target = {k: batch[k] for k in
+              ("pos_equal_one", "neg_equal_one", "targets")}
+    losses = crit(out, target)
+    assert "depth_loss" in losses
+    d = float(losses["depth_loss"])
+    assert np.isfinite(d) and d > 0
+
+
 def test_hetero_lidar_plus_camera_model():
     scenes = SyntheticScenes(TINY)
     b = scenes.sample(seed=7, batch_size=1)

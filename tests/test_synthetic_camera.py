@@ -51,7 +51,7 @@ def test_camera_render_geometry():
     ground = np.stack([rng.uniform(-30, 30, 500),
                        rng.uniform(-15, 15, 500),
                        rng.uniform(-2.0, -1.9, 500)], axis=1)
-    imgs, rots, trans, intrins = scenes._render_cams(
+    imgs, rots, trans, intrins, dmaps = scenes._render_cams(
         rng, veh, color, ground, np.eye(4), CAM)
     h, w = CAM["final_dim"]
     front = imgs[0]  # yaw 0 looks along +x
