@@ -64,6 +64,7 @@ class ModalityBranch(nn.Module):
                 feat_ch=self.encoder_args.get("img_features", 128),
                 trunk_blocks=self.encoder_args.get("trunk_blocks", 2),
                 depth_topk=self.encoder_args.get("depth_topk", 0),
+                trunk_bf16=self.encoder_args.get("trunk_bf16", False),
                 name="encoder",
             )
             canvas, depth_logits = enc(inputs, train)

@@ -17,6 +17,9 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     use_bn: bool = True
+    # compute dtype for activations (params stay fp32). bf16 halves HBM
+    # traffic on TPU and keeps the MXU in its native precision.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -26,10 +29,12 @@ class ConvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             use_bias=not self.use_bn,
+            dtype=self.dtype,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=self.dtype,
             )(x)
         return nn.relu(x)
 

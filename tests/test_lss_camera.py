@@ -144,6 +144,27 @@ def test_lss_topk_splat_matches_dense():
     assert any(float(jnp.abs(x).max()) > 0 for x in leaf)
 
 
+def test_lss_trunk_bf16_close_to_fp32():
+    """trunk_bf16=True runs the image trunk with bf16 activations; same
+    params must give a BEV canvas close to the fp32 path (outputs are cast
+    back to fp32 at the heads)."""
+    rng = np.random.RandomState(5)
+    cams = {k: jnp.asarray(v) for k, v in _camera_inputs(1, 2, rng).items()}
+    f32 = LSSEncoder(grid_conf=GRID_CONF, final_dim=FINAL_DIM, downsample=8,
+                     feat_ch=8)
+    v = f32.init(jax.random.PRNGKey(0), cams, False)
+    bev32, logits32 = f32.apply(v, cams, False)
+    b16 = LSSEncoder(grid_conf=GRID_CONF, final_dim=FINAL_DIM, downsample=8,
+                     feat_ch=8, trunk_bf16=True)
+    bev16, logits16 = b16.apply(v, cams, False)
+    assert bev16.dtype == jnp.float32 and logits16.dtype == jnp.float32
+    # bf16 has ~3 decimal digits; the trunk is shallow so relative error
+    # stays small
+    denom = float(jnp.abs(bev32).mean()) + 1e-6
+    err = float(jnp.abs(bev16 - bev32).mean()) / denom
+    assert err < 0.1, err
+
+
 def test_center_crop_or_pad():
     x = jnp.ones((2, 4, 6, 3))
     y = center_crop_or_pad(x, (8, 4))
