@@ -73,6 +73,11 @@ class HGTCavAttention(nn.Module):
         rel_idx = agent_types[:, :, None] * nt + agent_types[:, None, :]
         w_att = rel_att[rel_idx]  # (B, L, L, heads, d, d)
         w_msg = rel_msg[rel_idx]
+        # NOTE: a "homogeneous fast path" (all types 0 -> contract q/v with
+        # rel_att[0] directly, skipping the per-pair bhwijme intermediates)
+        # was tried and REGRESSED (63.1 -> 56-58 fps on the camera+v2xvit
+        # bench row): at the bucketed L=2 eval scale XLA fuses the per-pair
+        # einsum chain better than the two-step specialization.
 
         # score_ij = (q_i W_att[ij]) . k_j
         qw = jnp.einsum("bhwimd,bijmde->bhwijme", q, w_att)
