@@ -1,0 +1,82 @@
+"""Background-thread batch prefetching.
+
+TPU-native analog of the reference's multi-worker DataLoader
+(opencood/tools/train.py:53-85 builds a torch DataLoader whose workers
+voxelize CAV point clouds off the training thread). Here one producer
+thread runs the host side of the pipeline — sample/collate plus the C++
+pillar decorator (gencomm_tpu/native/voxelizer.cpp releases the GIL
+during its ctypes call) — while the main thread keeps the device queue
+fed. Depth 2 gives classic double buffering: batch N+1 is built while
+the device runs step N.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class PrefetchIterator:
+    """Iterate ``src`` on a background thread through a bounded queue.
+
+    Exceptions (including StopIteration) raised by the producer are
+    re-raised in the consumer. ``close()`` (also called on deletion and
+    on exhaustion) stops the producer promptly even if the queue is full.
+    """
+
+    _DONE = object()
+
+    def __init__(self, src, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._produce, args=(iter(src),), daemon=True
+        )
+        self._thread.start()
+
+    def _produce(self, it):
+        try:
+            for item in it:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            self._put_forever((self._DONE, None))
+        except BaseException as exc:  # forwarded to the consumer
+            self._put_forever((self._DONE, exc))
+
+    def _put_forever(self, item):
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is self._DONE:
+            self.close()
+            if item[1] is not None:
+                raise item[1]
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+
+    def __del__(self):
+        self.close()
+
+
+def prefetch_iter(src, depth: int = 2) -> PrefetchIterator:
+    return PrefetchIterator(src, depth=depth)

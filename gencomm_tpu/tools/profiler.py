@@ -193,18 +193,21 @@ def main(argv=None):
         state = trainer.create_train_state(
             model, host, jax.random.PRNGKey(0), tx
         )
-        step = trainer.make_train_step(model, criterion, tx)
+        step = trainer.make_train_step(model, criterion, tx, donate=True)
         # thread the state through the loop: the axon backend dedupes
         # executions with identical input buffers, which would otherwise
         # report near-zero step time
+        base_key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
-        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        state, _ = step(state, batch, base_key)
         jax.block_until_ready(state.params)
         compile_s = time.perf_counter() - t0
         iters = max(args.iters // 2, 3)
         t0 = time.perf_counter()
         for i in range(iters):
-            state, _ = step(state, batch, jax.random.PRNGKey(2 + i))
+            # same key buffer every step: the step folds state.step in
+            # on-device, and the threaded state keeps inputs distinct
+            state, _ = step(state, batch, base_key)
         jax.block_until_ready(state.params)
         per = (time.perf_counter() - t0) / iters
         tlat = {"compile_s": compile_s, "latency_ms": per * 1e3,
@@ -229,7 +232,7 @@ def main(argv=None):
             tdir = tempfile.mkdtemp(prefix="gencomm_train_trace_")
             jax.profiler.start_trace(tdir)
             for i in range(3):
-                state, _ = step(state, batch, jax.random.PRNGKey(100 + i))
+                state, _ = step(state, batch, base_key)
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             files = sorted(_glob.glob(

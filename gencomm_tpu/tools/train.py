@@ -159,7 +159,7 @@ def main(argv=None):
     #   FPV-RCNN, uncertainty): each sample is ONE agent; restrict to the
     #   ego slot so per-slot predictions align with the (B, ...) labels
     from gencomm_tpu.data.bucketing import (
-        ego_only_batch, per_agent_label_batch,
+        ego_only_batch, per_agent_label_batch, trim_agent_slots,
     )
     from gencomm_tpu.data.early_fusion import merge_points_to_ego
 
@@ -178,7 +178,14 @@ def main(argv=None):
     elif fusion_mode in ("late", "no"):
         adapt = ego_only_batch
     else:
-        adapt = lambda b: b  # noqa: E731
+        # intermediate fusion: agent-slot bucketing, same as the eval
+        # paths — skip dead padded slots (most frames have 2-3 real CAVs
+        # of max_cav=5; one train_step compilation per bucket size)
+        adapt = trim_agent_slots
+    # param shapes don't depend on the agent axis, so initialize from the
+    # UNTRIMMED batch — its init graph is shared across bucket sizes (and
+    # already in the init cache), sparing a multi-minute compile per bucket
+    init_adapt = adapt if adapt is not trim_agent_slots else (lambda b: b)
 
     if not args.no_host_decorate:
         # loader-side C++ pillar decoration: the device then runs ONE
@@ -189,6 +196,9 @@ def main(argv=None):
         base_adapt = adapt
         adapt = lambda b: host_decorate_pillars(  # noqa: E731
             base_adapt(b), hypes)
+        base_init_adapt = init_adapt
+        init_adapt = lambda b: host_decorate_pillars(  # noqa: E731
+            base_init_adapt(b), hypes)
 
     frozen_pred = None
     if args.freeze_prefixes:
@@ -223,7 +233,7 @@ def main(argv=None):
     tx = trainer.make_optimizer(hypes, args.steps_per_epoch, frozen_pred)
 
     batch_size = hypes["train_params"]["batch_size"]
-    first = adapt(next(batches(dataset, batch_size, 0, args.dataset)))
+    first = init_adapt(next(batches(dataset, batch_size, 0, args.dataset)))
     state = trainer.create_train_state(model, first, jax.random.PRNGKey(0), tx)
 
     start_epoch = 0
@@ -270,15 +280,17 @@ def main(argv=None):
         teacher_vars = {"params": t_restored["params"],
                         "batch_stats": t_restored.get("batch_stats", {})}
         step_fn = trainer.make_kd_train_step(
-            model, model, teacher_vars, criterion, tx
+            model, model, teacher_vars, criterion, tx, donate=True
         )
     elif args.trainer == "gmatch":
         step_fn = trainer.make_gmatch_train_step(
             model, criterion, tx,
             gen_weight=hypes["loss"]["args"].get("generate_weight", 1.0),
+            donate=True,
         )
     else:
-        step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred)
+        step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred,
+                                          donate=True)
     eval_fn = trainer.make_eval_step(model, criterion)
     epochs = args.epochs or hypes["train_params"]["epoches"]
     eval_freq = hypes["train_params"].get("eval_freq", 1)
@@ -297,23 +309,42 @@ def main(argv=None):
     from gencomm_tpu.train.metrics import MetricsLogger
 
     metrics = MetricsLogger(model_dir)
+    from gencomm_tpu.data.prefetch import prefetch_iter
+
     for epoch in range(start_epoch, epochs):
-        gen = batches(dataset, batch_size, epoch, args.dataset)
+        # host pipeline (sample/collate + C++ pillar decoration) runs on a
+        # producer thread, double-buffered against device compute — the
+        # DataLoader num_workers analog (reference train.py:53-85).
+        # NB device_put must stay on the main thread: concurrent transfers
+        # from the producer thread deadlock the remote TPU backend.
+        gen = prefetch_iter(
+            map(adapt, batches(dataset, batch_size, epoch, args.dataset))
+        )
+        # one host key per epoch; the step folds state.step in on-device
+        epoch_key = jax.random.PRNGKey(epoch * 100003)
+        tick, tick_it = None, 0
         for it in range(args.steps_per_epoch):
             try:
-                batch = adapt(next(gen))
+                batch = next(gen)
             except StopIteration:
                 break
-            state, losses = step_fn(
-                state, batch, jax.random.PRNGKey(epoch * 100003 + it)
-            )
+            state, losses = step_fn(state, batch, epoch_key)
             if it % 10 == 0:
                 msg = " ".join(
                     f"{k}={float(v):.4f}" for k, v in losses.items()
                 )
-                print(f"[epoch {epoch}][{it}] {msg}", flush=True)
+                # float() above synced on the step, so this wall clock
+                # measures true end-to-end (data + device) throughput
+                now = time.perf_counter()
+                rate = ""
+                if tick is not None and it > tick_it:
+                    rate = f" [{(now - tick) / (it - tick_it) * 1e3:.1f} ms/step]"
+                tick, tick_it = now, it
+                print(f"[epoch {epoch}][{it}] {msg}{rate}", flush=True)
                 metrics.log(epoch * args.steps_per_epoch + it, losses,
                             prefix="train/")
+        # stop the producer before reinitialize() mutates the dataset
+        gen.close()
         if hasattr(dataset, "reinitialize"):
             dataset.reinitialize()
         if (epoch + 1) % hypes["train_params"].get("save_freq", 1) == 0:

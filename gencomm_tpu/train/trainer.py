@@ -16,6 +16,9 @@ Reference parity:
 
 from __future__ import annotations
 
+import os
+import re
+
 from functools import partial
 from typing import Any, Callable, Dict, Iterable, Sequence
 
@@ -154,13 +157,65 @@ def restore_frozen_batch_stats(new_stats, old_stats,
     return unflatten_dict(out)
 
 
-def cpu_init(model, batch, rng, train: bool = True):
+_INIT_CACHE_DIR = os.environ.get(
+    "GENCOMM_INIT_CACHE", os.path.join(os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".init_cache")
+)
+
+
+def _init_cache_key(model, batch, rng, train: bool) -> str:
+    """Deterministic key for cached init variables: model hyperparams
+    (flax dataclass repr, object addresses stripped), batch structure
+    (names/shapes/dtypes — param shapes depend only on these), the seed,
+    and a content hash of the model source tree (guards against stale
+    caches after code edits)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(re.sub(r"0x[0-9a-f]+", "", repr(model)).encode())
+    for k in sorted(batch):
+        v = np.asarray(batch[k])
+        h.update(f"{k}:{v.shape}:{v.dtype};".encode())
+    try:
+        key_bits = np.asarray(rng)  # raw uint32 key array
+    except TypeError:
+        key_bits = np.asarray(jax.random.key_data(rng))
+    h.update(key_bits.tobytes())
+    h.update(str(train).encode())
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models")
+    for root, _, files in sorted(os.walk(src_dir)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()
+
+
+def cpu_init(model, batch, rng, train: bool = True, use_cache: bool = True):
     """Initialize model variables on the CPU backend and return host trees.
 
     Compiling the init graph on the TPU backend is pathologically slow for
     scatter-heavy graphs (observed 300+ s vs 55 s on CPU for the flagship
     pillar encoder); parameters are shape-only, so init on CPU + transfer.
+    The result is also cached on disk (keyed on config + batch shapes +
+    seed + model source hash): init values are deterministic, and even the
+    CPU-side XLA compile of the full init graph costs minutes per process.
     """
+    from flax.traverse_util import flatten_dict as _flat
+    from flax.traverse_util import unflatten_dict as _unflat
+
+    if use_cache:
+        key = _init_cache_key(model, batch, rng, train)
+        path = os.path.join(_INIT_CACHE_DIR, f"init_{key}.npz")
+        if os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                flat = {tuple(k.split("//")): z[k] for k in z.files}
+            cols = sorted({k[0] for k in flat})
+            return {c: _unflat({k[1:]: v for k, v in flat.items()
+                                if k[0] == c}) for c in cols}
+
     rngs = {
         "params": rng,
         "diffusion": jax.random.fold_in(rng, 1),
@@ -174,7 +229,18 @@ def cpu_init(model, batch, rng, train: bool = True):
         variables = jax.jit(
             lambda b: model.init(rngs, b, train=train)
         )(host_batch)
-    return jax.device_get(variables)
+    variables = jax.device_get(variables)
+
+    if use_cache:
+        os.makedirs(_INIT_CACHE_DIR, exist_ok=True)
+        flat = {}
+        for col, tree in variables.items():
+            for k, v in _flat(tree).items():
+                flat["//".join((col,) + k)] = np.asarray(v)
+        tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
+    return variables
 
 
 def create_train_state(model, batch, rng, tx) -> TrainState:
@@ -190,10 +256,22 @@ def create_train_state(model, batch, rng, tx) -> TrainState:
 
 
 def make_train_step(model, criterion, tx,
-                    frozen_predicate: Callable[[tuple], bool] | None = None):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+                    frozen_predicate: Callable[[tuple], bool] | None = None,
+                    donate: bool = False):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``donate=True`` donates the input TrainState buffers to the update
+    (in-place params/opt-state on TPU — avoids a full copy of params +
+    Adam moments every step). Callers must not touch the old state after
+    stepping; the test suite reuses fixture states, so donation is opt-in
+    and enabled on the performance paths (tools/train.py, tools/profiler.py).
+    """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        # fold the step counter in on-device so callers can pass one base
+        # key for the whole run instead of building a fresh host PRNGKey
+        # per step (each host key is a round trip on remote backends)
+        rng = jax.random.fold_in(rng, state.step)
         rngs = {
             "diffusion": jax.random.fold_in(rng, 0),
             "dropout": jax.random.fold_in(rng, 1),
@@ -225,7 +303,7 @@ def make_train_step(model, criterion, tx,
         )
         return new_state, losses
 
-    return jax.jit(train_step)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, criterion):
@@ -248,12 +326,14 @@ def make_eval_step(model, criterion):
 
 
 def make_kd_train_step(student, teacher, teacher_vars, criterion, tx,
-                       feature_key: str = "gt_feature"):
+                       feature_key: str = "gt_feature",
+                       donate: bool = False):
     """DiscoNet knowledge distillation (tools/train_w_kd.py): the frozen
     teacher's features are injected into the student's outputs for the
     KD criterion (point_pillar_disconet_loss)."""
 
     def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
         rngs = {"diffusion": jax.random.fold_in(rng, 0),
                 "dropout": jax.random.fold_in(rng, 1)}
         t_out = teacher.apply(teacher_vars, batch, train=False, rngs=rngs)
@@ -280,15 +360,17 @@ def make_kd_train_step(student, teacher, teacher_vars, criterion, tx,
             batch_stats=new_stats, opt_state=new_opt,
         ), losses
 
-    return jax.jit(train_step)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_gmatch_train_step(model, criterion, tx, gen_weight: float = 1.0):
+def make_gmatch_train_step(model, criterion, tx, gen_weight: float = 1.0,
+                           donate: bool = False):
     """GenComm gradient-matching ablation (tools/train_gmatch.py:150-160):
     final = loss_S + sum MSE(grad loss_S, grad loss_T) + w * gen_loss,
     differentiated end-to-end (second-order via jax.grad-of-grad)."""
 
     def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
         rngs = {"diffusion": jax.random.fold_in(rng, 0),
                 "dropout": jax.random.fold_in(rng, 1)}
 
@@ -323,7 +405,7 @@ def make_gmatch_train_step(model, criterion, tx, gen_weight: float = 1.0):
             batch_stats=new_stats, opt_state=new_opt,
         ), losses
 
-    return jax.jit(train_step)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh) -> Dict[str, jax.Array]:
