@@ -238,11 +238,21 @@ def main(argv=None):
 
     start_epoch = 0
     if args.init_from:
-        restored = checkpoint.load_checkpoint(args.init_from)
+        # accept either a concrete step dir or a model dir holding step_N
+        # dirs (e.g. the output of `heal_tools merge`)
+        restored = checkpoint.load_checkpoint(
+            checkpoint.latest_checkpoint(args.init_from) or args.init_from
+        )
         state = state.replace(
             params=checkpoint.load_into(
                 jax.device_get(state.params), restored["params"]
-            )
+            ),
+            # carry BN statistics from the merged stage-1 checkpoints too —
+            # stage-2 freezing relies on them (reference fix_bn semantics)
+            batch_stats=checkpoint.load_into(
+                jax.device_get(state.batch_stats),
+                restored.get("batch_stats", {}), verbose=False,
+            ),
         )
     else:
         # auto-resume: pick up the latest checkpoint already in model_dir
