@@ -1,0 +1,478 @@
+"""Golden parity tests, round 3: WEIGHT-TRANSPLANT parity for the neural
+modules themselves — the reference's own torch modules (read-only import
+from /root/reference, CPU) are run with random weights, those weights are
+transplanted into our flax modules, and the outputs compared.
+
+Covers the flagship compute path end to end at module granularity:
+  PillarVFE + PointPillarScatter  (pillar_vfe.py, point_pillar_scatter.py)
+  BaseBEVBackbone                 (base_bev_backbone.py)
+  MaxFusion / AttFusion           (fusion_in_one.py:87-151)
+  DiffusionUNet                   (gencomm_modules/unet.py)
+
+Conventions established here (and verified by these tests):
+  torch Conv2d (out,in,kh,kw)        -> flax Conv kernel (kh,kw,in,out)
+  torch ConvTranspose2d (in,out,k,k) -> flax ConvTranspose kernel
+                                        FLIPPED spatially: w[...,::-1,::-1]
+                                        then (kh,kw,in,out)
+  torch Linear (out,in)              -> flax Dense kernel (in,out)
+  torch BatchNorm/GroupNorm weight/bias/running_{mean,var}
+                                     -> scale/bias + batch_stats {mean,var}
+
+Padding note: torch pad=1 and XLA SAME agree for stride-1 3x3 always, and
+for stride-2 3x3 only on ODD spatial dims — strided-conv tests use odd
+H, W on purpose (see BEVBackbone docstring).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "opencood")),
+    reason="reference checkout not mounted",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_path():
+    if "icecream" not in sys.modules:
+        ice = types.ModuleType("icecream")
+        ice.ic = lambda *a, **k: None
+        sys.modules["icecream"] = ice
+    if "shapely" not in sys.modules:
+        shap = types.ModuleType("shapely")
+        geom = types.ModuleType("shapely.geometry")
+        geom.Polygon = object
+        geom.Point = object
+        geom.MultiPoint = object
+        shap.geometry = geom
+        sys.modules["shapely"] = shap
+        sys.modules["shapely.geometry"] = geom
+    sys.path.insert(0, REF)
+    yield
+    sys.path.remove(REF)
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _deconv(w):
+    # see ConvTranspose orientation note in the module docstring
+    return np.transpose(w[:, :, ::-1, ::-1].copy(), (2, 3, 0, 1))
+
+
+def _t2n(p):
+    return p.detach().numpy()
+
+
+# ---------------------------------------------------------------------------
+# PillarVFE + PointPillarScatter
+# ---------------------------------------------------------------------------
+
+def test_pillar_vfe_and_scatter_parity():
+    """Reference: voxel lists -> PillarVFE (decorate to 10-dim, PFN linear +
+    BN + ReLU, max over voxel points) -> dense scatter
+    (pillar_vfe.py:105-155, point_pillar_scatter.py:19-76). Ours: the raw
+    flat-point path of PointPillarEncoder (per-point decorate via segment
+    ops, one PFN matmul, one segment-max scatter).
+
+    The reference's in-voxel max includes zero-padded point slots, whose
+    post-BN-ReLU value is ReLU(BN(0)); BN stats here are drawn so that
+    BN(0) <= 0 per channel, making the padded slots exact no-ops in both
+    formulations (the one regime where both definitions coincide)."""
+    import torch
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.pillar_vfe import PillarVFE
+    from opencood.models.sub_modules.point_pillar_scatter import (
+        PointPillarScatter,
+    )
+    from gencomm_tpu.models.encoders.point_pillar import PointPillarEncoder
+
+    rng = np.random.default_rng(11)
+    nx, ny = 20, 16
+    voxel_size = (0.4, 0.4, 4.0)
+    pc_range = (-4.0, -3.2, -3.0, 4.0, 3.2, 1.0)
+    n_pts = 300
+    pts = np.stack(
+        [
+            rng.uniform(pc_range[0] + 0.01, pc_range[3] - 0.01, n_pts),
+            rng.uniform(pc_range[1] + 0.01, pc_range[4] - 0.01, n_pts),
+            rng.uniform(pc_range[2] + 0.01, pc_range[5] - 0.01, n_pts),
+            rng.uniform(0, 1, n_pts),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    # a few out-of-range points: dropped by the torch-side voxelizer,
+    # masked by ours
+    pts[:5, 0] = pc_range[3] + 1.0
+
+    # numpy voxelizer -> torch voxel lists (spconv stand-in), K cap 32
+    ix = np.floor((pts[:, 0] - pc_range[0]) / voxel_size[0]).astype(int)
+    iy = np.floor((pts[:, 1] - pc_range[1]) / voxel_size[1]).astype(int)
+    inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    cells = {}
+    for i in np.where(inb)[0]:
+        cells.setdefault((iy[i], ix[i]), []).append(i)
+    m, k = len(cells), 32
+    vox = np.zeros((m, k, 4), np.float32)
+    nump = np.zeros((m,), np.int64)
+    coords = np.zeros((m, 4), np.int64)  # (batch, z, y, x)
+    for vi, ((cy, cx), idxs) in enumerate(sorted(cells.items())):
+        idxs = idxs[:k]
+        vox[vi, : len(idxs)] = pts[idxs]
+        nump[vi] = len(idxs)
+        coords[vi] = (0, 0, cy, cx)
+
+    vfe = PillarVFE(
+        {"use_norm": True, "with_distance": False, "use_absolute_xyz": True,
+         "num_filters": [64]},
+        num_point_features=4, voxel_size=voxel_size,
+        point_cloud_range=pc_range,
+    ).eval()
+    scatter = PointPillarScatter(
+        {"num_features": 64, "grid_size": [nx, ny, 1]}
+    )
+    pfn = vfe.pfn_layers[0]
+    with torch.no_grad():
+        pfn.linear.weight.normal_(0, 0.2)
+        pfn.norm.weight.copy_(
+            torch.from_numpy(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+        )
+        # BN(0) <= 0: mean > 0, gamma > 0, beta <= 0 (docstring)
+        pfn.norm.bias.copy_(
+            -torch.from_numpy(
+                np.abs(rng.normal(0, 0.3, 64)).astype(np.float32)
+            ) - 0.05
+        )
+        pfn.norm.running_mean.copy_(
+            torch.from_numpy(rng.uniform(0.1, 0.5, 64).astype(np.float32))
+        )
+        pfn.norm.running_var.copy_(
+            torch.from_numpy(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+        )
+    with torch.no_grad():
+        bd = vfe(
+            {"voxel_features": torch.from_numpy(vox),
+             "voxel_num_points": torch.from_numpy(nump),
+             "voxel_coords": torch.from_numpy(coords)}
+        )
+        bd = scatter(bd)
+    ref_canvas = bd["spatial_features"][0].numpy()  # (64, ny, nx)
+
+    enc = PointPillarEncoder(
+        voxel_size=voxel_size, lidar_range=pc_range, num_filters=(64,)
+    )
+    points = jnp.asarray(pts)[None, None]           # (1, 1, P, 4)
+    mask = jnp.ones((1, 1, n_pts), bool)
+    variables = enc.init(__import__("jax").random.PRNGKey(0), points, mask)
+    params = variables["params"]
+    params["PFNLayer_0"]["Dense_0"]["kernel"] = jnp.asarray(
+        _t2n(pfn.linear.weight).T
+    )
+    mbn = params["PFNLayer_0"]["MaskedBatchNorm_0"]
+    mbn["scale"] = jnp.asarray(_t2n(pfn.norm.weight))
+    mbn["bias"] = jnp.asarray(_t2n(pfn.norm.bias))
+    stats = variables["batch_stats"]["PFNLayer_0"]["MaskedBatchNorm_0"]
+    stats["mean"] = jnp.asarray(_t2n(pfn.norm.running_mean))
+    stats["var"] = jnp.asarray(_t2n(pfn.norm.running_var))
+
+    got = enc.apply(variables, points, mask, False)  # (1, 1, ny, nx, 64)
+    got = np.transpose(np.asarray(got)[0, 0], (2, 0, 1))
+    np.testing.assert_allclose(got, ref_canvas, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BaseBEVBackbone
+# ---------------------------------------------------------------------------
+
+def _transplant_bev_backbone(ref, ours_vars, n_levels, layer_nums):
+    import jax.numpy as jnp
+
+    params, stats = ours_vars["params"], ours_vars["batch_stats"]
+
+    def put(block_name, conv, bn, transpose=False):
+        p = params[block_name]
+        key = "ConvTranspose_0" if transpose else "Conv_0"
+        p[key]["kernel"] = jnp.asarray(
+            (_deconv if transpose else _conv)(_t2n(conv.weight))
+        )
+        bnp = p["BatchNorm_0"]
+        bnp["scale"] = jnp.asarray(_t2n(bn.weight))
+        bnp["bias"] = jnp.asarray(_t2n(bn.bias))
+        s = stats[block_name]["BatchNorm_0"]
+        s["mean"] = jnp.asarray(_t2n(bn.running_mean))
+        s["var"] = jnp.asarray(_t2n(bn.running_var))
+
+    for i in range(n_levels):
+        seq = ref.blocks[i]
+        # [ZeroPad, Conv, BN, ReLU] + layer_nums x [Conv, BN, ReLU]
+        put(f"block{i}_0", seq[1], seq[2])
+        for j in range(layer_nums[i]):
+            put(f"block{i}_{j + 1}", seq[3 + 3 * j + 1], seq[3 + 3 * j + 2])
+        deseq = ref.deblocks[i]
+        put(f"deblock{i}", deseq[0], deseq[1],
+            transpose=isinstance(
+                deseq[0], __import__("torch").nn.ConvTranspose2d
+            ))
+
+
+def _randomize_bn_stats(module, rng):
+    import torch
+
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, m.weight.shape[0]).astype(np.float32)
+                ))
+                m.bias.copy_(torch.from_numpy(
+                    rng.normal(0, 0.2, m.bias.shape[0]).astype(np.float32)
+                ))
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.normal(0, 0.2, m.running_mean.shape[0]).astype(
+                        np.float32)
+                ))
+                m.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, m.running_var.shape[0]).astype(
+                        np.float32)
+                ))
+
+
+@pytest.mark.parametrize(
+    "cfg,hw",
+    [
+        # strided level on ODD dims (torch pad-1 == XLA SAME there) + a
+        # stride-2 deconv: exercises the ZeroPad+Conv stem and the
+        # ConvTranspose orientation
+        ({"layer_nums": [2], "layer_strides": [2], "num_filters": [32],
+          "upsample_strides": [2], "num_upsample_filter": [32]}, (25, 49)),
+        # two stride-1 levels: exercises multi-level concat order
+        ({"layer_nums": [1, 1], "layer_strides": [1, 1],
+          "num_filters": [16, 16], "upsample_strides": [1, 1],
+          "num_upsample_filter": [16, 16]}, (15, 17)),
+    ],
+)
+def test_base_bev_backbone_parity(cfg, hw):
+    """base_bev_backbone.py:6-126 vs models/backbones/bev_backbone.py."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.base_bev_backbone import BaseBEVBackbone
+    from gencomm_tpu.models.backbones.bev_backbone import BEVBackbone
+
+    rng = np.random.default_rng(7)
+    h, w = hw
+    cin = 8
+    x = rng.normal(size=(2, cin, h, w)).astype(np.float32)
+
+    ref = BaseBEVBackbone(cfg, cin).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
+                m.weight.normal_(0, 0.2)
+    _randomize_bn_stats(ref, rng)
+    with torch.no_grad():
+        ref_out = ref({"spatial_features": torch.from_numpy(x)})[
+            "spatial_features_2d"
+        ].numpy()
+
+    ours = BEVBackbone.from_config(cfg)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    _transplant_bev_backbone(
+        ref, variables, len(cfg["layer_nums"]), cfg["layer_nums"]
+    )
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MaxFusion / AttFusion
+# ---------------------------------------------------------------------------
+
+def _fusion_inputs():
+    rng = np.random.default_rng(3)
+    b, l, c, h, w = 2, 3, 8, 24, 40
+    record_len = np.array([3, 2])
+    feats = rng.normal(size=(b, l, c, h, w)).astype(np.float32)
+    feats[1, 2] = 0.0  # padded slot
+    affine = np.tile(
+        np.array([[1, 0, 0], [0, 1, 0]], np.float32), (b, l, l, 1, 1)
+    )
+    for bb in range(b):
+        for j in range(l):
+            a, tx, ty = rng.uniform(-0.15, 0.15, 3)
+            affine[bb, 0, j] = [
+                [np.cos(a), -np.sin(a) * h / w, tx],
+                [np.sin(a) * w / h, np.cos(a), ty],
+            ]
+    affine[:, 0, 0] = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    concat = np.concatenate(
+        [feats[bb, : record_len[bb]] for bb in range(b)], axis=0
+    )
+    mask = np.arange(l)[None] < record_len[:, None]
+    return feats, concat, record_len, affine, mask
+
+
+def test_max_fusion_parity():
+    """fusion_in_one.py:87-124 (ragged python loop + warp) vs our masked
+    dense (B, L) formulation."""
+    import torch
+    from opencood.models.fuse_modules.fusion_in_one import MaxFusion
+    import jax
+    import jax.numpy as jnp
+    from gencomm_tpu.models.fuse.fusion import MaxFusion as OurMax
+
+    feats, concat, record_len, affine, mask = _fusion_inputs()
+    with torch.no_grad():
+        ref = MaxFusion()(
+            torch.from_numpy(concat),
+            torch.from_numpy(record_len),
+            torch.from_numpy(affine),
+        ).numpy()
+
+    x = jnp.asarray(np.transpose(feats, (0, 1, 3, 4, 2)))  # NHWC
+    ours = OurMax()
+    variables = ours.init(
+        jax.random.PRNGKey(0), x, jnp.asarray(affine), jnp.asarray(mask)
+    )
+    got = ours.apply(variables, x, jnp.asarray(affine), jnp.asarray(mask))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_att_fusion_parity():
+    """fusion_in_one.py:126-151: the reference computes full LxL per-pixel
+    attention and keeps the ego row; ours computes the ego query only —
+    outputs must be identical."""
+    import torch
+    from opencood.models.fuse_modules.fusion_in_one import AttFusion
+    import jax
+    import jax.numpy as jnp
+    from gencomm_tpu.models.fuse.fusion import AttFusion as OurAtt
+
+    feats, concat, record_len, affine, mask = _fusion_inputs()
+    c = feats.shape[2]
+    with torch.no_grad():
+        ref = AttFusion(c)(
+            torch.from_numpy(concat),
+            torch.from_numpy(record_len),
+            torch.from_numpy(affine),
+        ).numpy()
+
+    x = jnp.asarray(np.transpose(feats, (0, 1, 3, 4, 2)))
+    ours = OurAtt(feat_dim=c)
+    variables = ours.init(
+        jax.random.PRNGKey(0), x, jnp.asarray(affine), jnp.asarray(mask)
+    )
+    got = ours.apply(variables, x, jnp.asarray(affine), jnp.asarray(mask))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DiffusionUNet
+# ---------------------------------------------------------------------------
+
+def _put_resnet_block(dst, block):
+    import jax.numpy as jnp
+
+    dst["GroupNorm_0"]["scale"] = jnp.asarray(_t2n(block.norm1.weight))
+    dst["GroupNorm_0"]["bias"] = jnp.asarray(_t2n(block.norm1.bias))
+    dst["Conv_0"]["kernel"] = jnp.asarray(_conv(_t2n(block.conv1.weight)))
+    dst["Conv_0"]["bias"] = jnp.asarray(_t2n(block.conv1.bias))
+    dst["Dense_0"]["kernel"] = jnp.asarray(_t2n(block.temb_proj.weight).T)
+    dst["Dense_0"]["bias"] = jnp.asarray(_t2n(block.temb_proj.bias))
+    dst["GroupNorm_1"]["scale"] = jnp.asarray(_t2n(block.norm2.weight))
+    dst["GroupNorm_1"]["bias"] = jnp.asarray(_t2n(block.norm2.bias))
+    dst["Conv_1"]["kernel"] = jnp.asarray(_conv(_t2n(block.conv2.weight)))
+    dst["Conv_1"]["bias"] = jnp.asarray(_t2n(block.conv2.bias))
+    if hasattr(block, "nin_shortcut"):
+        dst["Conv_2"]["kernel"] = jnp.asarray(
+            _conv(_t2n(block.nin_shortcut.weight))
+        )
+        dst["Conv_2"]["bias"] = jnp.asarray(_t2n(block.nin_shortcut.bias))
+
+
+def test_diffusion_unet_parity():
+    """gencomm_modules/unet.py DiffusionUNet (ddim lineage) vs
+    models/gencomm/unet.py at the flagship topology (ch=8, ch_mult=(1,1),
+    2 res blocks, one asymmetric-padded downsample, nearest upsample),
+    full weight transplant, all 3 flagship timesteps."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.gencomm_modules.unet import (
+        DiffusionUNet as RefUNet,
+    )
+    from gencomm_tpu.models.gencomm.unet import DiffusionUNet
+
+    class _NS(types.SimpleNamespace):
+        pass
+
+    cfg = _NS(model=_NS(ch=8, out_ch=8, ch_mult=[1, 1], num_res_blocks=2,
+                        attn_resolutions=[], dropout=0.0, in_channels=6,
+                        resamp_with_conv=True))
+    ref = RefUNet(cfg).eval()
+    rng = np.random.default_rng(5)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.from_numpy(
+                rng.normal(0, 0.2, tuple(p.shape)).astype(np.float32)
+            ))
+
+    b, h, w = 2, 16, 16
+    x = rng.normal(size=(b, 8, h, w)).astype(np.float32)  # in_channels+2
+    t = np.array([0, 2], np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    ours = DiffusionUNet(out_ch=8, ch=8, ch_mult=(1, 1), num_res_blocks=2,
+                         attn_resolutions=(), dropout=0.0, resolution=h)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    tn = jnp.asarray(t)
+    variables = ours.init(jax.random.PRNGKey(0), xn, tn)
+    p = variables["params"]
+
+    p["Dense_0"]["kernel"] = jnp.asarray(_t2n(ref.temb.dense[0].weight).T)
+    p["Dense_0"]["bias"] = jnp.asarray(_t2n(ref.temb.dense[0].bias))
+    p["Dense_1"]["kernel"] = jnp.asarray(_t2n(ref.temb.dense[1].weight).T)
+    p["Dense_1"]["bias"] = jnp.asarray(_t2n(ref.temb.dense[1].bias))
+    p["conv_in"]["kernel"] = jnp.asarray(_conv(_t2n(ref.conv_in.weight)))
+    p["conv_in"]["bias"] = jnp.asarray(_t2n(ref.conv_in.bias))
+
+    n_res = len(cfg.model.ch_mult)
+    for i in range(n_res):
+        for j in range(cfg.model.num_res_blocks):
+            _put_resnet_block(p[f"down{i}_block{j}"], ref.down[i].block[j])
+        if i != n_res - 1:
+            ds = ref.down[i].downsample.conv
+            p[f"down{i}_ds"]["Conv_0"]["kernel"] = jnp.asarray(
+                _conv(_t2n(ds.weight))
+            )
+            p[f"down{i}_ds"]["Conv_0"]["bias"] = jnp.asarray(_t2n(ds.bias))
+    _put_resnet_block(p["mid_block1"], ref.mid.block_1)
+    _put_resnet_block(p["mid_block2"], ref.mid.block_2)
+    for i in range(n_res):
+        for j in range(cfg.model.num_res_blocks + 1):
+            _put_resnet_block(p[f"up{i}_block{j}"], ref.up[i].block[j])
+        if i != 0:
+            us = ref.up[i].upsample.conv
+            p[f"up{i}_us"]["Conv_0"]["kernel"] = jnp.asarray(
+                _conv(_t2n(us.weight))
+            )
+            p[f"up{i}_us"]["Conv_0"]["bias"] = jnp.asarray(_t2n(us.bias))
+    p["GroupNorm_0"]["scale"] = jnp.asarray(_t2n(ref.norm_out.weight))
+    p["GroupNorm_0"]["bias"] = jnp.asarray(_t2n(ref.norm_out.bias))
+    p["conv_out"]["kernel"] = jnp.asarray(_conv(_t2n(ref.conv_out.weight)))
+    p["conv_out"]["bias"] = jnp.asarray(_t2n(ref.conv_out.bias))
+
+    got = np.transpose(
+        np.asarray(ours.apply(variables, xn, tn)), (0, 3, 1, 2)
+    )
+    np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-3)
