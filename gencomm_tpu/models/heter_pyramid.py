@@ -168,7 +168,18 @@ class HeterPyramidModel(nn.Module):
             elif depth_logits is not None:
                 out[f"depth_items_{mname}"] = depth_logits
         else:
-            # reuse the lidar encoder dispatch from the baseline branch
+            # reuse the lidar encoder dispatch from the baseline branch,
+            # incl. the host-decorated pillar fast path (data/decorate.py)
+            if f"decorated_{mname}" in batch:
+                inputs = {
+                    "decorated": batch[f"decorated_{mname}"],
+                    "gids": batch[f"gids_{mname}"],
+                    "dvalid": batch[f"dvalid_{mname}"],
+                    "points": None, "point_mask": None,
+                }
+            else:
+                inputs = {"points": batch[f"points_{mname}"],
+                          "point_mask": batch[f"point_mask_{mname}"]}
             canvas, _ = ModalityBranch(
                 encoder_args=margs["encoder_args"],
                 backbone_args={},
@@ -176,11 +187,7 @@ class HeterPyramidModel(nn.Module):
                 core_method=margs.get("core_method", "point_pillar"),
                 encode_only=True,
                 name=f"enc_branch_{mname}",
-            )(
-                {"points": batch[f"points_{mname}"],
-                 "point_mask": batch[f"point_mask_{mname}"]},
-                train,
-            )
+            )(inputs, train)
 
         bsz, l = canvas.shape[:2]
         flat = canvas.reshape((bsz * l,) + canvas.shape[2:])

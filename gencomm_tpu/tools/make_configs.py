@@ -434,6 +434,11 @@ def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
         "fusion_backbone": {"resnext": True, "layer_nums": [3, 5, 8],
                             "layer_strides": [1, 2, 2],
                             "num_filters": [64, 128, 256],
+                            # deconv every level back to the stride-1 grid
+                            # before channel concat (reference HEAL configs,
+                            # e.g. m1m2m3_pyramid.yaml:212-219)
+                            "upsample_strides": [1, 2, 4],
+                            "num_upsample_filter": [128, 128, 128],
                             "anchor_number": 2},
         "in_head": 256,
         "anchor_number": 2,
@@ -449,6 +454,10 @@ def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
         {"pyramid": {"relative_downsample": [1, 2, 4],
                      "weight": [0.4, 0.2, 0.1]},
          "depth": {"weight": 1.0}})
+    # pyramid heads sit at the backbone's stride-2 grid (no shrink conv in
+    # this assembly) — reference HEAL yamls use feature_stride 2
+    # (m1m2m3_pyramid.yaml:116)
+    cfg["postprocess"] = postprocess_block(lidar_range, stride=2)
     return cfg
 
 

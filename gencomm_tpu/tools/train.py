@@ -60,12 +60,20 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
                     modalities[name] = {"sensor": "lidar"}
         if not modalities:
             modalities = {"m1": {"sensor": "lidar"}}
+        aa = hypes.get("postprocess", {}).get("anchor_args", {})
         cfg = SyntheticConfig(
             lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),
             max_cav=hypes["train_params"]["max_cav"],
             per_agent_labels=needs_single,
             modalities=modalities,
             max_spawn_radius=spawn_radius,
+            # labels must live on the model's true output grid (e.g. the
+            # HEAL pyramid heads sit at stride 2, gencomm shrink at 4)
+            feature_stride=int(aa.get("feature_stride", 4)),
+            anchor_l=float(aa.get("l", 3.9)),
+            anchor_w=float(aa.get("w", 1.6)),
+            anchor_h=float(aa.get("h", 1.56)),
+            anchor_yaw_deg=tuple(aa.get("r", (0.0, 90.0))),
         )
         return SyntheticScenes(cfg)
     if dataset == "dairv2x":

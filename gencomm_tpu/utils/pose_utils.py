@@ -28,6 +28,37 @@ def generate_noise_laplace(pos_b: float, rot_b: float,
     return np.array([xy[0], xy[1], 0.0, 0.0, yaw, 0.0])
 
 
+def generate_noise_von_mises(poses: np.ndarray, pos_std: float,
+                             rot_std: float, pos_mean: float = 0.0,
+                             rot_mean: float = 0.0,
+                             rng: np.random.RandomState | None = None):
+    """(N, 6) additive noise batch with von-Mises-distributed yaw (radians)
+    — pose_utils.py:107-140 ``generate_noise_torch``, the V2VNet-robust
+    variant. Gaussian x/y in meters; yaw concentration ``(180/(pi*std))^2``
+    mirrors the reference's degree-std parameterization."""
+    rng = rng or np.random
+    n = poses.shape[0]
+    noise = np.zeros_like(poses)
+    if pos_std > 0:
+        noise[:, :2] = rng.normal(pos_mean, pos_std, (n, 2))
+    if rot_std > 0:
+        concentration = (180.0 / (np.pi * rot_std)) ** 2
+        noise[:, 4] = rng.vonmises(rot_mean, concentration, n)
+    return noise
+
+
+def remove_z_axis(T: np.ndarray) -> np.ndarray:
+    """Zero the z translation/rotation of a 4x4 transform (in place, like
+    the reference) — pose_utils.py:144-160, used by the V2VNet-robust path."""
+    T[2, 3] = 0.0
+    T[0, 2] = 0.0
+    T[1, 2] = 0.0
+    T[2, 0] = 0.0
+    T[2, 1] = 0.0
+    T[2, 2] = 1.0
+    return T
+
+
 def add_noise_to_poses(poses: np.ndarray, noise_setting: dict | None,
                        rng: np.random.RandomState | None = None) -> np.ndarray:
     """poses: (N, 6) with slot 0 = ego (kept clean, as the reference keeps

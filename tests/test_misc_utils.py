@@ -229,3 +229,32 @@ def test_bev_seg_head_in_heter_model():
     gt_s = jnp.ones((1, h, w), jnp.int32)
     losses = seg_loss(out["dynamic_seg"], out["static_seg"], gt_d, gt_s)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_von_mises_noise_and_remove_z_axis():
+    """V2VNet-robust noise parity (reference pose_utils.py:107-160):
+    Gaussian x/y, von-Mises yaw with concentration (180/(pi*std))^2, and
+    the z-axis scrub of a 4x4 transform."""
+    from gencomm_tpu.utils.pose_utils import (
+        generate_noise_von_mises, remove_z_axis,
+    )
+
+    rng = np.random.RandomState(0)
+    poses = np.zeros((2000, 6))
+    noise = generate_noise_von_mises(poses, pos_std=0.3, rot_std=5.0,
+                                     rng=rng)
+    assert noise.shape == poses.shape
+    # only x, y, yaw perturbed
+    assert np.all(noise[:, 2] == 0) and np.all(noise[:, 3] == 0)
+    assert np.all(noise[:, 5] == 0)
+    assert abs(noise[:, :2].std() - 0.3) < 0.02
+    # von-Mises with k=(180/(pi*5))^2 ~ N(0, 1/sqrt(k)) for large k:
+    # std ~ 5 deg in radians
+    assert abs(noise[:, 4].std() - np.deg2rad(5.0)) < 0.01
+
+    T = np.arange(16, dtype=float).reshape(4, 4)
+    out = remove_z_axis(T)
+    assert out[2, 3] == 0 and out[2, 2] == 1
+    assert out[0, 2] == 0 and out[1, 2] == 0
+    assert out[2, 0] == 0 and out[2, 1] == 0
+    assert out[0, 1] == 1 and out[1, 0] == 4  # untouched entries

@@ -138,6 +138,7 @@ def test_pillar_vfe_and_scatter_parity():
         {"num_features": 64, "grid_size": [nx, ny, 1]}
     )
     pfn = vfe.pfn_layers[0]
+    torch.manual_seed(0)
     with torch.no_grad():
         pfn.linear.weight.normal_(0, 0.2)
         pfn.norm.weight.copy_(
@@ -271,6 +272,7 @@ def test_base_bev_backbone_parity(cfg, hw):
     x = rng.normal(size=(2, cin, h, w)).astype(np.float32)
 
     ref = BaseBEVBackbone(cfg, cin).eval()
+    torch.manual_seed(0)
     with torch.no_grad():
         for m in ref.modules():
             if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
@@ -476,3 +478,243 @@ def test_diffusion_unet_parity():
         np.asarray(ours.apply(variables, xn, tn)), (0, 3, 1, 2)
     )
     np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# HEAL pyramid: ResNeXt bottleneck + PyramidFusion
+# ---------------------------------------------------------------------------
+
+def test_resnext_bottleneck_parity():
+    """resblock.py Bottleneck at HEAL's config (expansion=1, groups=32,
+    width_per_group=4 — pyramid_fuse.py:70-79) vs
+    backbones/resnet_bev.Bottleneck: grouped strided 3x3 + 1x1 shortcut,
+    odd dims for stride-2 padding agreement."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules import resblock
+    from gencomm_tpu.models.backbones.resnet_bev import Bottleneck
+
+    resblock.Bottleneck.expansion = 1  # as pyramid_fuse.py:72 patches it
+    rng = np.random.default_rng(17)
+    cin, planes, stride = 64, 32, 2
+    ds = torch.nn.Sequential(
+        resblock.conv1x1(cin, planes, stride),
+        torch.nn.BatchNorm2d(planes),
+    )
+    ref = resblock.Bottleneck(
+        cin, planes, stride=stride, downsample=ds, groups=32, base_width=4
+    ).eval()
+    torch.manual_seed(0)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.1)
+    _randomize_bn_stats(ref, rng)
+
+    x = rng.normal(size=(2, cin, 25, 49)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = Bottleneck(features=planes, stride=stride)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p, s = variables["params"], variables["batch_stats"]
+
+    def put_bn(dst_p, dst_s, bn):
+        dst_p["scale"] = jnp.asarray(_t2n(bn.weight))
+        dst_p["bias"] = jnp.asarray(_t2n(bn.bias))
+        dst_s["mean"] = jnp.asarray(_t2n(bn.running_mean))
+        dst_s["var"] = jnp.asarray(_t2n(bn.running_var))
+
+    for i, (conv, bn) in enumerate(
+        [(ref.conv1, ref.bn1), (ref.conv2, ref.bn2), (ref.conv3, ref.bn3)]
+    ):
+        p[f"Conv_{i}"]["kernel"] = jnp.asarray(_conv(_t2n(conv.weight)))
+        put_bn(p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"], bn)
+    p["downsample"]["kernel"] = jnp.asarray(_conv(_t2n(ref.downsample[0].weight)))
+    put_bn(p["BatchNorm_3"], s["BatchNorm_3"], ref.downsample[1])
+
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    # grouped-conv accumulation order differs between XLA and torch; the
+    # 3-conv+BN stack amplifies f32 rounding to ~1e-3 absolute on a handful
+    # of elements
+    np.testing.assert_allclose(got, ref_out, rtol=2e-2, atol=3e-3)
+
+
+def test_weighted_fuse_all_masked_pixels():
+    """pyramid_fuse.weighted_fuse:17-63 NaN semantics: pixels where EVERY
+    agent's warped score is zero softmax to NaN and are replaced by 0 —
+    ours must produce 0 there too (the HEAL camera-crop-mask regime)."""
+    import torch
+    from opencood.models.fuse_modules.pyramid_fuse import (
+        weighted_fuse as ref_weighted_fuse,
+    )
+    import jax.numpy as jnp
+    from gencomm_tpu.models.fuse.pyramid import weighted_fuse
+
+    rng = np.random.default_rng(23)
+    b, l, c, h, w = 1, 2, 4, 16, 24
+    record_len = np.array([2])
+    feats = rng.normal(size=(b, l, c, h, w)).astype(np.float32)
+    score = (rng.uniform(0.1, 1.0, (b, l, 1, h, w))).astype(np.float32)
+    # ego carries a zero band (the crop-mask regime); data zeros stay
+    # exactly zero under bilinear interpolation at interior pixels
+    score[:, 0, :, :4, :] = 0.0
+    ident = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    affine = np.tile(ident, (b, l, l, 1, 1))
+    # the neighbor is warped fully out of view -> its warped score is an
+    # exact out-of-bounds zero everywhere
+    affine[:, 0, 1, 0, 2] = 4.0
+
+    concat = feats[0]
+    with torch.no_grad():
+        ref = ref_weighted_fuse(
+            torch.from_numpy(concat),
+            torch.from_numpy(score[0]),
+            torch.from_numpy(record_len),
+            torch.from_numpy(affine),
+            align_corners=False,
+        ).numpy()
+    # the NaN->0 path fired on the band's interior rows (rows 0 and 3
+    # border nonzero scores and may pick up bilinear epsilons)
+    assert np.all(ref[:, :, 1:3, :] == 0)
+
+    got = weighted_fuse(
+        jnp.asarray(np.transpose(feats, (0, 1, 3, 4, 2))),
+        jnp.asarray(np.transpose(score, (0, 1, 3, 4, 2))),
+        jnp.asarray(affine),
+        jnp.ones((b, l), bool),
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))[None][0]
+    # row 3 (the band's lower edge) picks up bilinear-epsilon scores whose
+    # exact-zero test may round differently between frameworks — skip it
+    rows = [r for r in range(h) if r != 3]
+    np.testing.assert_allclose(
+        got[:, :, rows, :], ref[:, :, rows, :], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pyramid_fusion_parity():
+    """Full PyramidFusion.forward_collab (pyramid_fuse.py:105-167) vs
+    models/fuse/pyramid.PyramidFusion: ResNeXt multiscale encode, per-level
+    occupancy heads, occupancy-softmax weighted fuse, deconv decode.
+    Stride-1 levels (even-dim strided padding conventions differ by design;
+    the strided block is covered on odd dims above); pixel-exact
+    translations so warp-boundary zeros are exact in both frameworks."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.fuse_modules.pyramid_fuse import (
+        PyramidFusion as RefPyramid,
+    )
+    from gencomm_tpu.models.fuse.pyramid import PyramidFusion
+
+    cfg = {"resnext": True, "layer_nums": [1, 1], "layer_strides": [1, 1],
+           "num_filters": [32, 64], "upsample_strides": [1, 1],
+           "num_upsample_filter": [32, 32], "anchor_number": 2}
+    rng = np.random.default_rng(29)
+    b, l, cin, h, w = 2, 3, 64, 16, 24
+    record_len = np.array([3, 2])
+    feats = rng.normal(size=(b, l, cin, h, w)).astype(np.float32)
+    feats[1, 2] = 0.0
+    ident = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    affine = np.tile(ident, (b, l, l, 1, 1))
+    # exact-pixel translations (multiples of 2/W, 2/H in grid coords)
+    shifts = [(0, 0), (2, 1), (-3, 2)]
+    for bb in range(b):
+        for j, (jx, jy) in enumerate(shifts):
+            affine[bb, 0, j, 0, 2] = 2.0 * jx / w
+            affine[bb, 0, j, 1, 2] = 2.0 * jy / h
+
+    ref = RefPyramid(cfg, cin).eval()
+    torch.manual_seed(0)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.1)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.1)
+            if isinstance(m, torch.nn.ConvTranspose2d):
+                m.weight.normal_(0, 0.1)
+    _randomize_bn_stats(ref, rng)
+    concat = np.concatenate(
+        [feats[bb, : record_len[bb]] for bb in range(b)], axis=0
+    )
+    with torch.no_grad():
+        ref_fused, ref_occ = ref.forward_collab(
+            torch.from_numpy(concat),
+            torch.from_numpy(record_len),
+            torch.from_numpy(affine),
+        )
+    ref_fused = ref_fused.numpy()
+
+    ours = PyramidFusion(
+        layer_nums=(1, 1), layer_strides=(1, 1), num_filters=(32, 64),
+        upsample_strides=(1, 1), num_upsample_filters=(32, 32), resnext=True,
+    )
+    xn = jnp.asarray(np.transpose(feats, (0, 1, 3, 4, 2)))
+    mask = jnp.asarray(np.arange(l)[None] < record_len[:, None])
+    variables = ours.init(
+        jax.random.PRNGKey(0), xn, jnp.asarray(affine), mask
+    )
+    p, s = variables["params"], variables["batch_stats"]
+
+    def put_bn(dst_p, dst_s, bn):
+        dst_p["scale"] = jnp.asarray(_t2n(bn.weight))
+        dst_p["bias"] = jnp.asarray(_t2n(bn.bias))
+        dst_s["mean"] = jnp.asarray(_t2n(bn.running_mean))
+        dst_s["var"] = jnp.asarray(_t2n(bn.running_var))
+
+    for i in range(2):
+        for k, blk in enumerate(getattr(ref.resnet, f"layer{i}")):
+            name = f"layer{i}_{k}"
+            for ci, (conv, bn) in enumerate(
+                [(blk.conv1, blk.bn1), (blk.conv2, blk.bn2),
+                 (blk.conv3, blk.bn3)]
+            ):
+                p[name][f"Conv_{ci}"]["kernel"] = jnp.asarray(
+                    _conv(_t2n(conv.weight))
+                )
+                put_bn(p[name][f"BatchNorm_{ci}"], s[name][f"BatchNorm_{ci}"],
+                       bn)
+            if blk.downsample is not None:
+                p[name]["downsample"]["kernel"] = jnp.asarray(
+                    _conv(_t2n(blk.downsample[0].weight))
+                )
+                put_bn(p[name]["BatchNorm_3"], s[name]["BatchNorm_3"],
+                       blk.downsample[1])
+        head = getattr(ref, f"single_head_{i}")
+        p[f"single_head_{i}"]["kernel"] = jnp.asarray(_conv(_t2n(head.weight)))
+        p[f"single_head_{i}"]["bias"] = jnp.asarray(_t2n(head.bias))
+        de = ref.deblocks[i]
+        p[f"deblock{i}"]["ConvTranspose_0"]["kernel"] = jnp.asarray(
+            _deconv(_t2n(de[0].weight))
+        )
+        put_bn(p[f"deblock{i}"]["BatchNorm_0"],
+               s[f"deblock{i}"]["BatchNorm_0"], de[1])
+
+    fused, occ = ours.apply(variables, xn, jnp.asarray(affine), mask)
+    got = np.transpose(np.asarray(fused), (0, 3, 1, 2))
+    # compare away from the warped-score boundary band (|shift| <= 3 px):
+    # at out-of-view edges the reference's exact-zero score test can round
+    # differently between frameworks
+    mgn = 4
+    np.testing.assert_allclose(
+        got[:, :, mgn:-mgn, mgn:-mgn], ref_fused[:, :, mgn:-mgn, mgn:-mgn],
+        rtol=2e-3, atol=2e-3,
+    )
+
+    # occupancy maps: ours include padded slots; compare the real ones
+    for lvl in range(2):
+        ref_o = ref_occ[lvl].numpy()
+        our_o = np.transpose(np.asarray(occ[lvl]), (0, 3, 1, 2)).reshape(
+            b, l, 1, *ref_o.shape[2:]
+        )
+        off = 0
+        for bb in range(b):
+            for j in range(record_len[bb]):
+                np.testing.assert_allclose(
+                    our_o[bb, j], ref_o[off], rtol=2e-3, atol=2e-3
+                )
+                off += 1
