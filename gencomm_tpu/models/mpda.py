@@ -4,21 +4,29 @@ Parity targets (opencood/models/mpda_modules/):
   resizer.py LearnableResizer:27-74 — 1x1 channel selector, window+grid
     self-attention (SwapFusionEncoder), bilinear resize to the ego's spatial
     size, residual conv stack, attention refine, shortcut sum.
-  wg_fusion_modules.py CrossDomainFusionEncoder:306-339 — depth x windowed
-    cross-attention blocks (query = cav feature, key/value = ego feature)
-    with an MLP head.
+  wg_fusion_modules.py Attention:101-176 — MaxViT-style window attention
+    with packed bias-free QKV and a learned (2ws-1)^2 relative-position
+    bias (index convention pos_i - pos_j + ws - 1).
+  wg_fusion_modules.py SwapFusionEncoder:341-377 — depth x [PreNorm window
+    attn -> PreNorm FFN -> PreNorm grid attn -> PreNorm FFN], LN+Linear head.
+  wg_fusion_modules.py CrossDomainFusionEncoder:306-339 — depth x
+    CrossDomainSwapFusionBlock:209-304 (window cross-attn q=cav k/v=ego with
+    per-input pre-norms inside to_q/to_k/to_v, skip, prenormed MLP; then the
+    grid-partitioned pass; post-norm), LN+Linear head.  NOTE the reference
+    hardcodes win_size=2 in the block (:216) regardless of config.
   classfier.py DAImgHead + gradient_layer.py GradientScalarLayer(-9.1) —
     per-pixel domain logits behind a gradient-reversal scale (adversarial:
     the feature path is trained to FOOL the domain classifier).
 
 Dense NHWC; window/grid attention are pure reshapes + batched MHSA (MXU
-matmuls), no gather.
+matmuls), no gather.  Weight-transplant parity: test_reference_golden4.py.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -42,14 +50,58 @@ def _gs_bwd(weight, _res, g):
 gradient_scale.defvjp(_gs_fwd, _gs_bwd)
 
 
+# --- window partitions ---------------------------------------------------
+
+def _window_part(a, ws):
+    """(N, H, W, C) -> (N*hh*ww, ws*ws, C), local windows."""
+    n, h, w, c = a.shape
+    hh, ww = h // ws, w // ws
+    a = a.reshape(n, hh, ws, ww, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return a.reshape(n * hh * ww, ws * ws, c)
+
+
+def _window_unpart(a, n, h, w, ws):
+    c = a.shape[-1]
+    hh, ww = h // ws, w // ws
+    a = a.reshape(n, hh, ww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return a.reshape(n, h, w, c)
+
+
+def _grid_part(a, ws):
+    """(N, H, W, C) -> (N*hh*ww, ws*ws, C), dilated (grid) windows —
+    the '(w1 x) (w2 y)' rearrange."""
+    n, h, w, c = a.shape
+    hh, ww = h // ws, w // ws
+    a = a.reshape(n, ws, hh, ws, ww, c).transpose(0, 2, 4, 1, 3, 5)
+    return a.reshape(n * hh * ww, ws * ws, c)
+
+
+def _grid_unpart(a, n, h, w, ws):
+    c = a.shape[-1]
+    hh, ww = h // ws, w // ws
+    a = a.reshape(n, hh, ww, ws, ws, c).transpose(0, 3, 1, 4, 2, 5)
+    return a.reshape(n, h, w, c)
+
+
+def _rel_pos_index(ws):
+    """(ws^2, ws^2) index into the (2ws-1)^2 bias table; convention
+    pos_i - pos_j + ws - 1 (wg_fusion_modules.py:123-132)."""
+    pos = np.stack(
+        np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
+    ).reshape(2, -1)
+    rel = pos[:, :, None] - pos[:, None, :] + ws - 1  # (2, n, n)
+    return rel[0] * (2 * ws - 1) + rel[1]
+
+
 # --- attention building blocks ------------------------------------------
 
 class WindowMHSA(nn.Module):
-    """Multi-head self-attention within ws x ws windows; ``grid=True``
-    swaps the partition (MaxViT-style grid attention)."""
+    """MaxViT window attention (wg_fusion_modules.Attention:101-176):
+    packed bias-free QKV, relative-position bias, bias-free output proj;
+    ``grid=True`` swaps the partition (grid attention)."""
 
+    dim: int
     dim_head: int = 32
-    heads: int = 8
     window_size: int = 8
     grid: bool = False
 
@@ -57,90 +109,92 @@ class WindowMHSA(nn.Module):
     def __call__(self, x):
         n, h, w, c = x.shape
         ws = self.window_size
-        hh, ww = h // ws, w // ws
-        if self.grid:
-            # tokens = one pixel per window at the same offset
-            t = x.reshape(n, ws, hh, ws, ww, c).transpose(0, 2, 4, 1, 3, 5)
-            t = t.reshape(n * hh * ww, ws * ws, c)
-        else:
-            t = x.reshape(n, hh, ws, ww, ws, c).transpose(0, 1, 3, 2, 4, 5)
-            t = t.reshape(n * hh * ww, ws * ws, c)
-        inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="q")(t)
-        k = nn.Dense(inner, use_bias=False, name="k")(t)
-        v = nn.Dense(inner, use_bias=False, name="v")(t)
+        heads = self.dim // self.dim_head
+        t = _grid_part(x, ws) if self.grid else _window_part(x, ws)
+
+        qkv = nn.Dense(self.dim * 3, use_bias=False, name="to_qkv")(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(a):
-            return a.reshape(a.shape[0], a.shape[1], self.heads,
+            return a.reshape(a.shape[0], a.shape[1], heads,
                              self.dim_head).transpose(0, 2, 1, 3)
 
-        attn = jax.nn.softmax(
-            jnp.einsum("bhid,bhjd->bhij", split(q), split(k))
-            / jnp.sqrt(float(self.dim_head)),
-            axis=-1,
+        q, k, v = split(q) * self.dim_head ** -0.5, split(k), split(v)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+        table = self.param(
+            "rel_pos_bias", nn.initializers.normal(0.02),
+            ((2 * ws - 1) ** 2, heads),
         )
-        o = jnp.einsum("bhij,bhjd->bhid", attn, split(v))
-        o = o.transpose(0, 2, 1, 3).reshape(t.shape[0], t.shape[1], inner)
-        o = nn.Dense(c, name="out")(o)
-        o = o.reshape(n, hh, ww, ws, ws, c)
-        if self.grid:
-            o = o.transpose(0, 3, 1, 4, 2, 5).reshape(n, h, w, c)
-        else:
-            o = o.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
-        return o
+        sim = sim + table[jnp.asarray(_rel_pos_index(ws))].transpose(2, 0, 1)
+        attn = jax.nn.softmax(sim, axis=-1)
+        o = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        o = o.transpose(0, 2, 1, 3).reshape(t.shape[0], t.shape[1], self.dim)
+        o = nn.Dense(self.dim, use_bias=False, name="to_out")(o)
+        return (_grid_unpart(o, n, h, w, ws) if self.grid
+                else _window_unpart(o, n, h, w, ws))
 
 
 class WindowGridEncoder(nn.Module):
-    """SwapFusionEncoder analog: depth x (window attn -> grid attn -> FFN)."""
+    """SwapFusionEncoder (wg_fusion_modules.py:341-377): depth x [PreNorm
+    window attn -> PreNorm FFN -> PreNorm grid attn -> PreNorm FFN], then
+    LayerNorm + Linear head."""
 
     dim: int
     depth: int = 1
     dim_head: int = 32
-    heads: int = 8
     window_size: int = 8
-    mlp_mult: int = 2
+    mlp_dim: int = 0  # 0 -> dim (reference configs use mlp_dim == input_dim)
+
+    def _pnr_ffn(self, x, name):
+        mlp = self.mlp_dim or self.dim
+        h = nn.LayerNorm(name=f"{name}_norm")(x)
+        h = nn.Dense(mlp, name=f"{name}_fc1")(h)
+        h = nn.gelu(h)
+        return x + nn.Dense(self.dim, name=f"{name}_fc2")(h)
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
+            y = nn.LayerNorm(name=f"win_norm_{i}")(x)
             x = x + WindowMHSA(
-                self.dim_head, self.heads, self.window_size,
-                grid=False, name=f"win_{i}",
-            )(nn.LayerNorm(name=f"norm_w_{i}")(x))
+                self.dim, self.dim_head, self.window_size, grid=False,
+                name=f"win_{i}",
+            )(y)
+            x = self._pnr_ffn(x, f"win_ffn_{i}")
+            y = nn.LayerNorm(name=f"grid_norm_{i}")(x)
             x = x + WindowMHSA(
-                self.dim_head, self.heads, self.window_size,
-                grid=True, name=f"grid_{i}",
-            )(nn.LayerNorm(name=f"norm_g_{i}")(x))
-            h = nn.LayerNorm(name=f"norm_f_{i}")(x)
-            h = nn.Dense(self.dim * self.mlp_mult, name=f"ff1_{i}")(h)
-            x = x + nn.Dense(self.dim, name=f"ff2_{i}")(nn.gelu(h))
+                self.dim, self.dim_head, self.window_size, grid=True,
+                name=f"grid_{i}",
+            )(y)
+            x = self._pnr_ffn(x, f"grid_ffn_{i}")
         return nn.Dense(self.dim, name="head")(
             nn.LayerNorm(name="head_norm")(x)
         )
 
 
 class WindowCrossAttention(nn.Module):
-    """Windowed cross attention: query from x, key/value from ctx."""
+    """CrossAttention (wg_fusion_modules.py:12-99): query tokens from x,
+    key/value from ctx; LayerNorm inside each projection; biased linears
+    (qkv_bias=True as CrossDomainSwapFusionBlock passes) + output proj."""
 
-    dim_head: int = 32
+    dim: int
     heads: int = 8
-    window_size: int = 8
+    dim_head: int = 32
+    window_size: int = 2
+    grid: bool = False
 
     @nn.compact
     def __call__(self, x, ctx):
         n, h, w, c = x.shape
         ws = self.window_size
-        hh, ww = h // ws, w // ws
-
-        def part(a):
-            a = a.reshape(n, hh, ws, ww, ws, c).transpose(0, 1, 3, 2, 4, 5)
-            return a.reshape(n * hh * ww, ws * ws, c)
-
-        tq, tk = part(x), part(ctx)
+        part = _grid_part if self.grid else _window_part
+        unpart = _grid_unpart if self.grid else _window_unpart
+        tq, tk = part(x, ws), part(ctx, ws)
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="q")(tq)
-        k = nn.Dense(inner, use_bias=False, name="k")(tk)
-        v = nn.Dense(inner, use_bias=False, name="v")(tk)
+
+        q = nn.Dense(inner, name="to_q")(nn.LayerNorm(name="norm_q")(tq))
+        k = nn.Dense(inner, name="to_k")(nn.LayerNorm(name="norm_k")(tk))
+        v = nn.Dense(inner, name="to_v")(nn.LayerNorm(name="norm_v")(tk))
 
         def split(a):
             return a.reshape(a.shape[0], a.shape[1], self.heads,
@@ -148,14 +202,14 @@ class WindowCrossAttention(nn.Module):
 
         attn = jax.nn.softmax(
             jnp.einsum("bhid,bhjd->bhij", split(q), split(k))
-            / jnp.sqrt(float(self.dim_head)),
+            * self.dim_head ** -0.5,
             axis=-1,
         )
         o = jnp.einsum("bhij,bhjd->bhid", attn, split(v))
         o = o.transpose(0, 2, 1, 3).reshape(tq.shape[0], tq.shape[1], inner)
-        o = nn.Dense(c, name="out")(o)
-        o = o.reshape(n, hh, ww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
-        return o.reshape(n, h, w, c)
+        o = nn.Dense(c, name="proj")(o)
+        o = o + tq  # skip=query (CrossDomainSwapFusionBlock:262,287)
+        return unpart(o, n, h, w, ws)
 
 
 # --- MPDA components ----------------------------------------------------
@@ -181,9 +235,9 @@ class LearnableResizer(nn.Module):
     out_channel: int
     wg_depth: int = 1
     wg_dim_head: int = 32
-    wg_heads: int = 8
     window_size: int = 8
     res_depth: int = 2
+    wg_mlp_dim: int = 0
 
     @nn.compact
     def __call__(self, ego, cav, train: bool = False):
@@ -191,7 +245,7 @@ class LearnableResizer(nn.Module):
         cav = nn.Conv(self.out_channel, (1, 1), name="channel_selector")(cav)
         c1 = WindowGridEncoder(
             self.out_channel, self.wg_depth, self.wg_dim_head,
-            self.wg_heads, self.window_size, name="wg_att_1",
+            self.window_size, mlp_dim=self.wg_mlp_dim, name="wg_att_1",
         )(cav)
         c1 = jax.image.resize(
             c1, (c1.shape[0], h, w, c1.shape[-1]), method="bilinear"
@@ -204,7 +258,7 @@ class LearnableResizer(nn.Module):
         c2 = c2 + c1
         c2 = WindowGridEncoder(
             self.out_channel, self.wg_depth, self.wg_dim_head,
-            self.wg_heads, self.window_size, name="wg_att_2",
+            self.window_size, mlp_dim=self.wg_mlp_dim, name="wg_att_2",
         )(c2)
         c0 = jax.image.resize(
             cav, (cav.shape[0], h, w, cav.shape[-1]), method="bilinear"
@@ -213,22 +267,41 @@ class LearnableResizer(nn.Module):
 
 
 class CrossDomainFusionEncoder(nn.Module):
-    """wg_fusion_modules.py:306-339."""
+    """wg_fusion_modules.py:306-339 + CrossDomainSwapFusionBlock:209-304.
+
+    Per depth: window cross-attn (q=cav, k/v=ego, skip) -> prenormed MLP ->
+    grid cross-attn (keys re-partitioned from the ORIGINAL ego) -> prenormed
+    MLP -> post-norm; then LN+Linear head.  The reference hardcodes the
+    block's window size to 2 (:216); we honor the config value but default
+    to 2."""
 
     dim: int
     depth: int = 1
     dim_head: int = 32
     heads: int = 8
-    window_size: int = 8
+    window_size: int = 2
+
+    def _mlp(self, x, name):
+        h = nn.LayerNorm(name=f"{name}_norm")(x)
+        h = nn.Dense(2 * self.dim, name=f"{name}_fc1")(h)
+        h = nn.gelu(h)
+        return x + nn.Dense(self.dim, name=f"{name}_fc2")(h)
 
     @nn.compact
     def __call__(self, ego, cav):
         x = cav
         for i in range(self.depth):
-            x = x + WindowCrossAttention(
-                self.dim_head, self.heads, self.window_size,
-                name=f"block_{i}",
-            )(nn.LayerNorm(name=f"norm_{i}")(x), ego)
+            x = WindowCrossAttention(
+                self.dim, self.heads, self.dim_head, self.window_size,
+                grid=False, name=f"cross_win_{i}",
+            )(x, ego)
+            x = self._mlp(x, f"mlp1_{i}")
+            x = WindowCrossAttention(
+                self.dim, self.heads, self.dim_head, self.window_size,
+                grid=True, name=f"cross_grid_{i}",
+            )(x, ego)
+            x = self._mlp(x, f"mlp2_{i}")
+            x = nn.LayerNorm(name=f"post_norm_{i}")(x)
         x = nn.LayerNorm(name="head_norm")(x)
         return nn.Dense(self.dim, name="head")(x)
 

@@ -6,7 +6,8 @@ Parity targets (opencood/models/stamp_modules/adapter.py):
   and the protocol's (feature px / lidar meter) densities, then zero-pad /
   crop to the protocol grid (ranges may differ per modality).
   AdapterConvNext:120-146 — resize -> 1x1 channel convert -> ConvNeXt body
-  -> 1x1 convert -> 3x3 smoothing.
+  -> 1x1 convert (the reference's 3x3 smoothing conv is
+  constructed but never applied, adapter.py:132,134-144).
   AdapterIdentity:103-117, AdapterConv:220-245, AdapterFC:247-299 variants.
   Adapter/Reverter dispatch :759-806.
 
@@ -96,10 +97,11 @@ class StampAdapter(nn.Module):
                     self.hidden_dim, kernel_size=self.kernel_size,
                     name=f"convnext_{i}",
                 )(x)
-            x = nn.Conv(self.out_channels, (1, 1), name="channel_convert2")(x)
-            return nn.Conv(
-                self.out_channels, (3, 3), padding="SAME", name="smoothing"
-            )(x)
+            # NOTE: the reference constructs a 3x3 ``smoothing`` conv
+            # (adapter.py:132) but its forward never applies it
+            # (adapter.py:134-144) — shipped behavior ends at the 1x1
+            # channel convert, so ours does too.
+            return nn.Conv(self.out_channels, (1, 1), name="channel_convert2")(x)
         if method == "adapterconv":
             x = _resize_and_fit(x, self.in_range, self.out_range, self.out_hw)
             x = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding="SAME",

@@ -807,3 +807,233 @@ def test_umgm_quantizer_parity():
         np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-3)
     finally:
         refcb.gumbelSoftmax = orig
+
+# ---------------------------------------------------------------------------
+# STAMP AdapterConvNext (protocol-space adapter)
+# ---------------------------------------------------------------------------
+
+def test_stamp_adapter_convnext_parity():
+    """stamp_modules/adapter.py AdapterConvNext:120-146: bilinear resize to
+    the protocol grid (identity here: equal ranges/shapes) -> 1x1 channel
+    convert -> ConvNeXt blocks (dwconv7 -> LN -> pw MLP -> gamma scale ->
+    residual, feature_alignnet_modules.py:302-348) -> 1x1 convert -> 3x3
+    smoothing."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    # positional_encodings is only imported, not used on this path
+    if "positional_encodings" not in sys.modules:
+        pe = types.ModuleType("positional_encodings")
+        te = types.ModuleType("positional_encodings.torch_encodings")
+        te.PositionalEncoding2D = object
+        te.PositionalEncodingPermute2D = object
+        te.Summer = object
+        pe.torch_encodings = te
+        sys.modules["positional_encodings"] = pe
+        sys.modules["positional_encodings.torch_encodings"] = te
+
+    from opencood.models.stamp_modules.adapter import AdapterConvNext
+    from gencomm_tpu.models.stamp import StampAdapter
+
+    rng = np.random.default_rng(79)
+    cin, cout, hid, h, w = 8, 12, 16, 16, 32
+    lidar_range = [-8.0, -4.0, -3.0, 8.0, 4.0, 1.0]
+    ref = AdapterConvNext(
+        {"dim": hid, "num_of_blocks": 2, "kernel_size": 7},
+        in_channels=cin, out_channels=cout,
+        in_cav_lidar_range=lidar_range, out_cav_lidar_range=lidar_range,
+        in_feature_shape=(h, w), out_feature_shape=(h, w),
+    ).eval()
+    torch.manual_seed(10)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.Linear)):
+                m.weight.normal_(0, 0.15)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+
+    x = rng.normal(size=(2, cin, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = StampAdapter(
+        in_channels=cin, out_channels=cout,
+        in_range=tuple(lidar_range), out_range=tuple(lidar_range),
+        out_hw=(h, w), core_method="adapterconvnext",
+        hidden_dim=hid, num_of_blocks=2, kernel_size=7,
+    )
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p = variables["params"]
+    # (no "smoothing": the reference constructs that conv but never calls
+    # it in forward — see adapter.py:134-144; ours matches)
+    for nm, conv in (("channel_convert1", ref.channel_convert1),
+                     ("channel_convert2", ref.channel_convert2)):
+        p[nm]["kernel"] = jnp.asarray(_conv(_t2n(conv.weight)))
+        p[nm]["bias"] = jnp.asarray(_t2n(conv.bias))
+    for i in range(2):
+        blk = ref.conv.model[i]
+        dst = p[f"convnext_{i}"]
+        dst["dwconv"]["kernel"] = jnp.asarray(_conv(_t2n(blk.dwconv.weight)))
+        dst["dwconv"]["bias"] = jnp.asarray(_t2n(blk.dwconv.bias))
+        dst["LayerNorm_0"]["scale"] = jnp.asarray(_t2n(blk.norm.weight))
+        dst["LayerNorm_0"]["bias"] = jnp.asarray(_t2n(blk.norm.bias))
+        dst["pwconv1"]["kernel"] = jnp.asarray(_t2n(blk.pwconv1.weight).T)
+        dst["pwconv1"]["bias"] = jnp.asarray(_t2n(blk.pwconv1.bias))
+        dst["pwconv2"]["kernel"] = jnp.asarray(_t2n(blk.pwconv2.weight).T)
+        dst["pwconv2"]["bias"] = jnp.asarray(_t2n(blk.pwconv2.bias))
+        dst["gamma"] = jnp.asarray(_t2n(blk.gamma))
+
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+
+# ---------------------------------------------------------------------------
+# MPDA: SwapFusionEncoder (window/grid self-attn) + CrossDomainFusionEncoder
+# ---------------------------------------------------------------------------
+
+def test_mpda_swap_fusion_encoder_parity():
+    """mpda_modules/wg_fusion_modules.py SwapFusionEncoder:341-377 (the
+    resizer's wg_att): depth x [PreNorm window Attention (packed QKV,
+    rel-pos bias) -> PreNorm FFN -> PreNorm grid Attention -> PreNorm FFN]
+    then LayerNorm+Linear head."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.mpda_modules.wg_fusion_modules import (
+        SwapFusionEncoder,
+    )
+    from gencomm_tpu.models.mpda import WindowGridEncoder
+
+    rng = np.random.default_rng(83)
+    c, h, w, ws = 16, 8, 12, 2
+    args = {"input_dim": c, "mlp_dim": c, "window_size": ws,
+            "dim_head": 8, "drop_out": 0.0, "depth": 1}
+    ref = SwapFusionEncoder(args).eval()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.15)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+            elif isinstance(m, torch.nn.Embedding):
+                m.weight.normal_(0, 0.3)
+    x = rng.normal(size=(2, c, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = WindowGridEncoder(dim=c, depth=1, dim_head=8, window_size=ws,
+                             mlp_dim=c)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p = variables["params"]
+    blk = ref.layers[0].block
+    # Sequential: [Rearr, PNR(win attn), PNR(ffn), Rearr, Rearr,
+    #              PNR(grid attn), PNR(ffn), Rearr]
+    def put_ln(dst, ln):
+        dst["scale"] = jnp.asarray(_t2n(ln.weight))
+        dst["bias"] = jnp.asarray(_t2n(ln.bias))
+
+    def put_attn(prefix, prenorm):
+        attn = prenorm.fn
+        put_ln(p[f"{prefix.split('_')[0]}_norm_0"], prenorm.norm)
+        p[prefix]["to_qkv"]["kernel"] = jnp.asarray(_t2n(attn.to_qkv.weight).T)
+        p[prefix]["to_out"]["kernel"] = jnp.asarray(
+            _t2n(attn.to_out[0].weight).T
+        )
+        p[prefix]["rel_pos_bias"] = jnp.asarray(
+            _t2n(attn.rel_pos_bias.weight)
+        )
+
+    def put_ffn(prefix, prenorm):
+        put_ln(p[f"{prefix}_norm"], prenorm.norm)
+        net = prenorm.fn.net
+        p[f"{prefix}_fc1"]["kernel"] = jnp.asarray(_t2n(net[0].weight).T)
+        p[f"{prefix}_fc1"]["bias"] = jnp.asarray(_t2n(net[0].bias))
+        p[f"{prefix}_fc2"]["kernel"] = jnp.asarray(_t2n(net[3].weight).T)
+        p[f"{prefix}_fc2"]["bias"] = jnp.asarray(_t2n(net[3].bias))
+
+    put_attn("win_0", blk[1])
+    put_ffn("win_ffn_0", blk[2])
+    put_attn("grid_0", blk[5])
+    put_ffn("grid_ffn_0", blk[6])
+    put_ln(p["head_norm"], ref.mlp_head[1])
+    p["head"]["kernel"] = jnp.asarray(_t2n(ref.mlp_head[2].weight).T)
+    p["head"]["bias"] = jnp.asarray(_t2n(ref.mlp_head[2].bias))
+
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_mpda_cross_domain_encoder_parity():
+    """wg_fusion_modules.py CrossDomainFusionEncoder:306-339 +
+    CrossDomainSwapFusionBlock:209-304: window cross-attn (q=cav, k/v=ego,
+    per-input pre-norms, skip) -> prenormed MLP -> grid cross-attn (keys
+    from the original ego) -> MLP -> post-norm -> LN+Linear head."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.mpda_modules.wg_fusion_modules import (
+        CrossDomainFusionEncoder as RefCDF,
+    )
+    from gencomm_tpu.models.mpda import CrossDomainFusionEncoder
+
+    rng = np.random.default_rng(89)
+    c, h, w = 16, 8, 12
+    args = {"input_dim": c, "heads": 2, "dim_head": 8, "window_size": 2,
+            "depth": 1}
+    ref = RefCDF(args).eval()
+    torch.manual_seed(12)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.15)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+    ego = rng.normal(size=(2, c, h, w)).astype(np.float32)
+    cav = rng.normal(size=(2, c, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(ego), torch.from_numpy(cav)).numpy()
+
+    ours = CrossDomainFusionEncoder(dim=c, depth=1, dim_head=8, heads=2,
+                                    window_size=2)
+    egon = jnp.asarray(np.transpose(ego, (0, 2, 3, 1)))
+    cavn = jnp.asarray(np.transpose(cav, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), egon, cavn)
+    p = variables["params"]
+    blk = ref.layers[0]
+
+    def put_ln(dst, ln):
+        dst["scale"] = jnp.asarray(_t2n(ln.weight))
+        dst["bias"] = jnp.asarray(_t2n(ln.bias))
+
+    def put_cross(prefix, cross):
+        dst = p[prefix]
+        for nm, seq in (("q", cross.to_q), ("k", cross.to_k),
+                        ("v", cross.to_v)):
+            put_ln(dst[f"norm_{nm}"], seq[0])
+            dst[f"to_{nm}"]["kernel"] = jnp.asarray(_t2n(seq[1].weight).T)
+            dst[f"to_{nm}"]["bias"] = jnp.asarray(_t2n(seq[1].bias))
+        dst["proj"]["kernel"] = jnp.asarray(_t2n(cross.proj.weight).T)
+        dst["proj"]["bias"] = jnp.asarray(_t2n(cross.proj.bias))
+
+    def put_mlp(prefix, prenorm_ln, mlp_seq):
+        put_ln(p[f"{prefix}_norm"], prenorm_ln)
+        p[f"{prefix}_fc1"]["kernel"] = jnp.asarray(_t2n(mlp_seq[0].weight).T)
+        p[f"{prefix}_fc1"]["bias"] = jnp.asarray(_t2n(mlp_seq[0].bias))
+        p[f"{prefix}_fc2"]["kernel"] = jnp.asarray(_t2n(mlp_seq[2].weight).T)
+        p[f"{prefix}_fc2"]["bias"] = jnp.asarray(_t2n(mlp_seq[2].bias))
+
+    put_cross("cross_win_0", blk.cross_win_1)
+    put_mlp("mlp1_0", blk.prenorm1, blk.mlp_1)
+    put_cross("cross_grid_0", blk.cross_win_2)
+    put_mlp("mlp2_0", blk.prenorm2, blk.mlp_2)
+    put_ln(p["post_norm_0"], blk.post_norm)
+    put_ln(p["head_norm"], ref.mlp_head[1])
+    p["head"]["kernel"] = jnp.asarray(_t2n(ref.mlp_head[2].weight).T)
+    p["head"]["bias"] = jnp.asarray(_t2n(ref.mlp_head[2].bias))
+
+    got = np.transpose(np.asarray(ours.apply(variables, egon, cavn)),
+                       (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
