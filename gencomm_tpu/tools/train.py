@@ -61,14 +61,20 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
         if not modalities:
             modalities = {"m1": {"sensor": "lidar"}}
         aa = hypes.get("postprocess", {}).get("anchor_args", {})
+        vs = hypes.get("preprocess", {}).get("args", {}).get(
+            "voxel_size", (0.4, 0.4, 4.0)
+        )
         cfg = SyntheticConfig(
             lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),
             max_cav=hypes["train_params"]["max_cav"],
             per_agent_labels=needs_single,
             modalities=modalities,
             max_spawn_radius=spawn_radius,
-            # labels must live on the model's true output grid (e.g. the
-            # HEAL pyramid heads sit at stride 2, gencomm shrink at 4)
+            # labels must live on the model's true output grid: base grid =
+            # range / voxel_size (e.g. CIASSD at 0.2 m voxels), then the
+            # anchor stride (HEAL pyramid heads at 2, gencomm shrink at 4,
+            # spconv-8x SECOND heads at 8)
+            voxel_size=tuple(vs),
             feature_stride=int(aa.get("feature_stride", 4)),
             anchor_l=float(aa.get("l", 3.9)),
             anchor_w=float(aa.get("w", 1.6)),
