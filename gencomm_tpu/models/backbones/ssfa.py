@@ -36,7 +36,10 @@ class SSFA(nn.Module):
                 x0, train
             )
         # bottom_up_block_1: conv s2 then 2x conv s1 (cia_ssd_utils.py:16-17)
-        x1 = ConvBNReLU(self.semantic_ch, 3, 2, name="bottom_up_1_0")(x0, train)
+        # torch_pad: the reference runs on SECOND's even grids, where
+        # stride-2 SAME and torch pad-1 disagree (see ConvBNReLU)
+        x1 = ConvBNReLU(self.semantic_ch, 3, 2, torch_pad=True,
+                        name="bottom_up_1_0")(x0, train)
         for i in range(1, 3):
             x1 = ConvBNReLU(self.semantic_ch, 3, 1, name=f"bottom_up_1_{i}")(
                 x1, train
@@ -44,8 +47,9 @@ class SSFA(nn.Module):
         t0 = ConvBNReLU(self.spatial_ch, 1, 1, name="trans_0")(x0, train)
         t1 = ConvBNReLU(self.semantic_ch, 1, 1, name="trans_1")(x1, train)
         h, w = t0.shape[1:3]
-        up0 = DeconvBNReLU(self.spatial_ch, 2, name="deconv_0")(t1, train)
-        up1 = DeconvBNReLU(self.spatial_ch, 2, name="deconv_1")(t1, train)
+        # k3/s2/p1/op1 deconvs as the reference (cia_ssd_utils.py:21-24)
+        up0 = DeconvBNReLU(self.spatial_ch, 2, kernel=3, name="deconv_0")(t1, train)
+        up1 = DeconvBNReLU(self.spatial_ch, 2, kernel=3, name="deconv_1")(t1, train)
         # crop to the full-res branch (odd input dims round up under s2)
         mid0 = up0[:, :h, :w] + t0
         mid1 = up1[:, :h, :w]

@@ -20,14 +20,21 @@ class ConvBNReLU(nn.Module):
     # compute dtype for activations (params stay fp32). bf16 halves HBM
     # traffic on TPU and keeps the MXU in its native precision.
     dtype: object = None
+    # torch_pad: explicit symmetric (k-1)//2 padding, matching torch's
+    # Conv2d(padding=k//2). Identical to SAME for stride 1 (and for stride
+    # 2 on odd dims); on EVEN dims at stride 2 SAME pads (0,1) while torch
+    # pads (1,1), which shifts the window alignment — modules whose
+    # reference runs on even grids (SSFA) must set this for parity.
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = (self.kernel - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)) if self.torch_pad else "SAME",
             use_bias=not self.use_bn,
             dtype=self.dtype,
         )(x)
@@ -42,14 +49,27 @@ class ConvBNReLU(nn.Module):
 class DeconvBNReLU(nn.Module):
     features: int
     stride: int = 2
+    # kernel defaults to stride (the reference BEV backbone's k==s deconvs);
+    # kernel > stride reproduces torch ConvTranspose2d(k, s, p=(k-1)//2,
+    # output_padding=s-1) — the standard "2x upsample" deconv (e.g. SSFA's
+    # k3/s2/p1/op1, cia_ssd_utils.py:21-24) via explicit LHS padding
+    # (k-1-p, k-1-p+op)
+    kernel: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        k = self.kernel or self.stride
+        if k == self.stride:
+            pad = "VALID"
+        else:
+            p = (k - 1) // 2
+            op = self.stride - 1
+            pad = ((k - 1 - p, k - 1 - p + op),) * 2
         x = nn.ConvTranspose(
             self.features,
-            (self.stride, self.stride),
+            (k, k),
             strides=(self.stride, self.stride),
-            padding="VALID",
+            padding=pad,
             use_bias=False,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)

@@ -1037,3 +1037,121 @@ def test_mpda_cross_domain_encoder_parity():
     got = np.transpose(np.asarray(ours.apply(variables, egon, cavn)),
                        (0, 3, 1, 2))
     np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+
+# ---------------------------------------------------------------------------
+# CIA-SSD: SSFA backbone + IoU-aware head
+# ---------------------------------------------------------------------------
+
+def test_ssfa_backbone_parity():
+    """cia_ssd_utils.py SSFA:6-57: spatial/semantic dual branch, 1x1 trans
+    convs, two k3/s2/p1/op1 deconvs from the semantic branch, softmax
+    pixel-weight blend of the two 128-ch outputs.  All convs bias-free +
+    BN (eval running stats)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.cia_ssd_utils import SSFA as RefSSFA
+    from gencomm_tpu.models.backbones.ssfa import SSFA as OurSSFA
+
+    rng = np.random.default_rng(97)
+    ref = RefSSFA({"feature_num": 128}).eval()
+    torch.manual_seed(13)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
+                m.weight.normal_(0, 0.05)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.02)
+    _randomize_bn_stats(ref, rng)
+
+    x = rng.normal(size=(2, 128, 16, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = OurSSFA()
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p, s = variables["params"], variables["batch_stats"]
+
+    def _deconv(w):
+        return np.transpose(w[:, :, ::-1, ::-1].copy(), (2, 3, 0, 1))
+
+    def put_cbr(name, conv, bn, deconv=False):
+        kern = _deconv(_t2n(conv.weight)) if deconv else _conv(_t2n(conv.weight))
+        key = "ConvTranspose_0" if deconv else "Conv_0"
+        p[name][key]["kernel"] = jnp.asarray(kern)
+        p[name]["BatchNorm_0"]["scale"] = jnp.asarray(_t2n(bn.weight))
+        p[name]["BatchNorm_0"]["bias"] = jnp.asarray(_t2n(bn.bias))
+        s[name]["BatchNorm_0"]["mean"] = jnp.asarray(_t2n(bn.running_mean))
+        s[name]["BatchNorm_0"]["var"] = jnp.asarray(_t2n(bn.running_var))
+
+    # bottom_up_block_0: [ZeroPad, conv, bn, relu, conv, bn, relu, conv, bn, relu]
+    b0 = ref.bottom_up_block_0
+    put_cbr("bottom_up_0_0", b0[1], b0[2])
+    put_cbr("bottom_up_0_1", b0[4], b0[5])
+    put_cbr("bottom_up_0_2", b0[7], b0[8])
+    b1 = ref.bottom_up_block_1
+    put_cbr("bottom_up_1_0", b1[0], b1[1])
+    put_cbr("bottom_up_1_1", b1[3], b1[4])
+    put_cbr("bottom_up_1_2", b1[6], b1[7])
+    put_cbr("trans_0", ref.trans_0[0], ref.trans_0[1])
+    put_cbr("trans_1", ref.trans_1[0], ref.trans_1[1])
+    put_cbr("deconv_0", ref.deconv_block_0[0], ref.deconv_block_0[1], deconv=True)
+    put_cbr("deconv_1", ref.deconv_block_1[0], ref.deconv_block_1[1], deconv=True)
+    put_cbr("conv_0", ref.conv_0[0], ref.conv_0[1])
+    put_cbr("conv_1", ref.conv_1[0], ref.conv_1[1])
+    for nm, seq in (("w_0", ref.w_0), ("w_1", ref.w_1)):
+        p[nm]["kernel"] = jnp.asarray(_conv(_t2n(seq[0].weight)))
+        # reference w heads are conv(bias=False)+BN; ours is a biased conv —
+        # fold the eval-mode BN affine into our conv (1x1, bias-free ref conv):
+        bn = seq[1]
+        scale = _t2n(bn.weight) / np.sqrt(_t2n(bn.running_var) + 1e-3)
+        p[nm]["kernel"] = jnp.asarray(
+            _conv(_t2n(seq[0].weight)) * scale[None, None, None, :]
+        )
+        p[nm]["bias"] = jnp.asarray(
+            _t2n(bn.bias) - _t2n(bn.running_mean) * scale
+        )
+
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_ciassd_head_parity():
+    """cia_ssd_utils.py Head:81-110: 1x1 cls/box/iou(+dir) heads (iou
+    bias-free)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.cia_ssd_utils import Head as RefHead
+    from gencomm_tpu.models.backbones.ssfa import IoUAwareHead
+
+    rng = np.random.default_rng(101)
+    ref = RefHead(128, 14, 2, num_iou=2, use_dir=True, num_dir=4).eval()
+    torch.manual_seed(14)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.1)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+    x = rng.normal(size=(2, 128, 8, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = {k: v.numpy() for k, v in
+                   ref(torch.from_numpy(x)).items()}
+
+    ours = IoUAwareHead(anchor_num=2, use_dir=True, dir_bins=2)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p = variables["params"]
+    for nm, conv in (("conv_box", ref.conv_box), ("conv_cls", ref.conv_cls),
+                     ("conv_iou", ref.conv_iou), ("conv_dir", ref.conv_dir)):
+        p[nm]["kernel"] = jnp.asarray(_conv(_t2n(conv.weight)))
+        if conv.bias is not None:
+            p[nm]["bias"] = jnp.asarray(_t2n(conv.bias))
+    got = ours.apply(variables, xn)
+    for key in ("reg_preds", "cls_preds", "iou_preds", "dir_preds"):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got[key]), (0, 3, 1, 2)), ref_out[key],
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
