@@ -28,7 +28,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(epsilon=1e-6)(y)
         y = nn.Dense(4 * self.dim, name="pwconv1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(self.dim, name="pwconv2")(y)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
@@ -51,7 +51,9 @@ class ResidualAlignBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = lambda: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            # torch BatchNorm2d default eps (the reference ResidualBlock
+            # uses the default, feature_alignnet_modules.py:393-394)
+            use_running_average=not train, momentum=0.99, epsilon=1e-5
         )
         y = nn.Conv(self.dim, (self.kernel, self.kernel), padding="SAME")(x)
         y = nn.relu(bn()(y))
@@ -86,11 +88,14 @@ class AlignNet(nn.Module):
                 x = ResidualAlignBlock(dim, kernel=k, name=f"block{i}")(x, train)
             return x
         if method == "scaligner":
-            # SCAligner: per-pixel channel MLP with residual (ResMLP stack)
+            # SCAligner: ResMLP stack (feature_alignnet_modules.py:453-463):
+            # each block is residual(LayerNorm -> [Linear -> GELU] x layers)
+            layers = self.args.get("num_of_layers", 2)
             for i in range(n):
-                y = nn.Dense(dim, name=f"mlp{i}_0")(x)
-                y = nn.gelu(y)
-                y = nn.Dense(dim, name=f"mlp{i}_1")(y)
+                y = nn.LayerNorm(name=f"mlp{i}_norm")(x)
+                for j in range(layers):
+                    y = nn.gelu(nn.Dense(dim, name=f"mlp{i}_{j}")(y),
+                                approximate=False)
                 x = x + y
             return x
         raise ValueError(f"unknown aligner core_method {method}")

@@ -1155,3 +1155,92 @@ def test_ciassd_head_parity():
             np.transpose(np.asarray(got[key]), (0, 3, 1, 2)), ref_out[key],
             rtol=1e-4, atol=1e-5, err_msg=key,
         )
+
+# ---------------------------------------------------------------------------
+# HEAL AlignNet: SCAligner (ResMLP) and Res3x3/1x1 aligners
+# ---------------------------------------------------------------------------
+
+def test_scaligner_parity():
+    """feature_alignnet_modules.py SCAligner:465-505 = stacked ResMLP
+    (:453-463): residual(LayerNorm -> [Linear -> GELU] x layers)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.feature_alignnet_modules import (
+        SCAligner,
+    )
+    from gencomm_tpu.models.aligners import AlignNet
+
+    rng = np.random.default_rng(103)
+    dim = 16
+    ref = SCAligner({"num_of_blocks": 2, "num_of_layers": 2,
+                     "dim": dim}).eval()
+    torch.manual_seed(15)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.2)
+                m.bias.normal_(0, 0.05)
+    x = rng.normal(size=(2, dim, 8, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = AlignNet(core_method="scaligner",
+                    args={"num_of_blocks": 2, "num_of_layers": 2,
+                          "dim": dim})
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p = variables["params"]
+    for i in range(2):
+        seq = ref.backbone[i].model  # [LN, Linear, GELU, Linear, GELU]
+        p[f"mlp{i}_norm"]["scale"] = jnp.asarray(_t2n(seq[0].weight))
+        p[f"mlp{i}_norm"]["bias"] = jnp.asarray(_t2n(seq[0].bias))
+        for j, idx in enumerate((1, 3)):
+            p[f"mlp{i}_{j}"]["kernel"] = jnp.asarray(_t2n(seq[idx].weight).T)
+            p[f"mlp{i}_{j}"]["bias"] = jnp.asarray(_t2n(seq[idx].bias))
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=5e-5)
+
+
+def test_res3x3_aligner_parity():
+    """feature_alignnet_modules.py Res3x3Aligner:419-432 / ResidualBlock
+    :368-401 (conv-bn-relu-conv-bn + skip, relu after add)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.feature_alignnet_modules import (
+        Res3x3Aligner,
+    )
+    from gencomm_tpu.models.aligners import AlignNet
+
+    rng = np.random.default_rng(107)
+    dim = 12
+    ref = Res3x3Aligner({"dim": dim, "num_of_blocks": 1}).eval()
+    torch.manual_seed(16)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.15)
+                m.bias.normal_(0, 0.05)
+    _randomize_bn_stats(ref, rng)
+    x = rng.normal(size=(2, dim, 8, 10)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = AlignNet(core_method="resnet3x3",
+                    args={"dim": dim, "num_of_blocks": 1})
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p = variables["params"]["block0"]
+    s = variables["batch_stats"]["block0"]
+    blk = ref.model[0]
+    for i, (conv, bn) in enumerate(((blk.conv1, blk.bn1),
+                                    (blk.conv2, blk.bn2))):
+        p[f"Conv_{i}"]["kernel"] = jnp.asarray(_conv(_t2n(conv.weight)))
+        p[f"Conv_{i}"]["bias"] = jnp.asarray(_t2n(conv.bias))
+        p[f"BatchNorm_{i}"]["scale"] = jnp.asarray(_t2n(bn.weight))
+        p[f"BatchNorm_{i}"]["bias"] = jnp.asarray(_t2n(bn.bias))
+        s[f"BatchNorm_{i}"]["mean"] = jnp.asarray(_t2n(bn.running_mean))
+        s[f"BatchNorm_{i}"]["var"] = jnp.asarray(_t2n(bn.running_var))
+    got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-3)
