@@ -141,21 +141,46 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, name="to_out")(out)
 
 
+class SplitAttn3(nn.Module):
+    """Radix-3 split attention over the three window scales
+    (split_attn.py:30-66): gap of the sum -> fc1(no bias) -> LN -> ReLU ->
+    fc2(no bias, 3C) -> softmax over scales per channel -> weighted sum."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, windows):
+        sw, mw, bw = windows
+        gap = (sw + mw + bw).mean(axis=(2, 3), keepdims=True)  # (B,L,1,1,C)
+        y = nn.Dense(self.dim, use_bias=False, name="fc1")(gap)
+        y = nn.relu(nn.LayerNorm(name="ln")(y))
+        y = nn.Dense(self.dim * 3, use_bias=False, name="fc2")(y)
+        w = nn.softmax(
+            y.reshape(y.shape[:-1] + (3, self.dim)), axis=-2
+        )
+        return (sw * w[..., 0, :] + mw * w[..., 1, :] + bw * w[..., 2, :])
+
+
 class PyramidWindowAttention(nn.Module):
     dim: int
     heads: Sequence[int]
     dim_heads: Sequence[int]
     window_sizes: Sequence[int]
+    # 'split_attn' is the shipped v2xvit config (m1m2m3_v2xvit.yaml
+    # fusion_method); 'naive' averages (mswin.py:114-117)
+    fuse_method: str = "split_attn"
 
     @nn.compact
     def __call__(self, x):
-        out = None
-        for i, (h, dh, ws) in enumerate(
-            zip(self.heads, self.dim_heads, self.window_sizes)
-        ):
-            y = WindowAttention(self.dim, h, dh, ws, name=f"wmsa{i}")(x)
-            out = y if out is None else out + y
-        return out / len(self.window_sizes)
+        outs = [
+            WindowAttention(self.dim, h, dh, ws, name=f"wmsa{i}")(x)
+            for i, (h, dh, ws) in enumerate(
+                zip(self.heads, self.dim_heads, self.window_sizes)
+            )
+        ]
+        if self.fuse_method == "split_attn" and len(outs) == 3:
+            return SplitAttn3(self.dim, name="split_attn")(outs)
+        return sum(outs) / len(outs)
 
 
 @FUSIONS.register("v2xvit")

@@ -1244,3 +1244,61 @@ def test_res3x3_aligner_parity():
         s[f"BatchNorm_{i}"]["var"] = jnp.asarray(_t2n(bn.running_var))
     got = np.transpose(np.asarray(ours.apply(variables, xn)), (0, 3, 1, 2))
     np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-3)
+
+# ---------------------------------------------------------------------------
+# V2X-ViT PyramidWindowAttention with SplitAttn scale fusion (shipped config)
+# ---------------------------------------------------------------------------
+
+def test_pyramid_window_attention_split_attn_parity():
+    """mswin.PyramidWindowAttention:84-123 with fuse_method='split_attn'
+    (the shipped v2xvit fusion_method): three window scales fused by a
+    radix-3 SplitAttn (split_attn.py:30-66) instead of averaging."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.sub_modules.mswin import (
+        PyramidWindowAttention as RefPWA,
+    )
+    from gencomm_tpu.models.fuse.v2xvit import (
+        PyramidWindowAttention as OurPWA,
+    )
+
+    rng = np.random.default_rng(109)
+    c = 256  # SplitAttn(256) is hardcoded in the reference
+    b, l, h, w = 1, 2, 8, 16
+    ref = RefPWA(c, heads=[2, 2, 2], dim_heads=[8, 8, 8], drop_out=0.0,
+                 window_size=[2, 4, 8], relative_pos_embedding=True,
+                 fuse_method="split_attn").eval()
+    torch.manual_seed(17)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.05)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.02)
+        for wm in ref.pwmsa:
+            wm.pos_embedding.normal_(0, 0.3)
+    x = rng.normal(size=(b, l, h, w, c)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = OurPWA(dim=c, heads=(2, 2, 2), dim_heads=(8, 8, 8),
+                  window_sizes=(2, 4, 8), fuse_method="split_attn")
+    xn = jnp.asarray(x)
+    variables = ours.init(jax.random.PRNGKey(0), xn)
+    p = variables["params"]
+    for i, wm in enumerate(ref.pwmsa):
+        dst = p[f"wmsa{i}"]
+        dst["to_qkv"]["kernel"] = jnp.asarray(_t2n(wm.to_qkv.weight).T)
+        dst["to_out"]["kernel"] = jnp.asarray(_t2n(wm.to_out[0].weight).T)
+        dst["to_out"]["bias"] = jnp.asarray(_t2n(wm.to_out[0].bias))
+        # sign convention flip (see test_mswin_window_attention_parity)
+        dst["rel_pos"] = jnp.asarray(_t2n(wm.pos_embedding)[::-1, ::-1].copy())
+    sa = p["split_attn"]
+    sa["fc1"]["kernel"] = jnp.asarray(_t2n(ref.split_attn.fc1.weight).T)
+    sa["ln"]["scale"] = jnp.asarray(_t2n(ref.split_attn.bn1.weight))
+    sa["ln"]["bias"] = jnp.asarray(_t2n(ref.split_attn.bn1.bias))
+    sa["fc2"]["kernel"] = jnp.asarray(_t2n(ref.split_attn.fc2.weight).T)
+
+    got = np.asarray(ours.apply(variables, xn))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
