@@ -381,6 +381,44 @@ def test_att_fusion_parity():
 # DiffusionUNet
 # ---------------------------------------------------------------------------
 
+def transplant_unet(p, ref, n_res, num_res_blocks):
+    """Copy a reference gencomm DiffusionUNet's weights into our flax
+    param tree (shared by the UNet test and the full GenComm chain test
+    in test_reference_golden6.py)."""
+    import jax.numpy as jnp
+
+    p["Dense_0"]["kernel"] = jnp.asarray(_t2n(ref.temb.dense[0].weight).T)
+    p["Dense_0"]["bias"] = jnp.asarray(_t2n(ref.temb.dense[0].bias))
+    p["Dense_1"]["kernel"] = jnp.asarray(_t2n(ref.temb.dense[1].weight).T)
+    p["Dense_1"]["bias"] = jnp.asarray(_t2n(ref.temb.dense[1].bias))
+    p["conv_in"]["kernel"] = jnp.asarray(_conv(_t2n(ref.conv_in.weight)))
+    p["conv_in"]["bias"] = jnp.asarray(_t2n(ref.conv_in.bias))
+    for i in range(n_res):
+        for j in range(num_res_blocks):
+            _put_resnet_block(p[f"down{i}_block{j}"], ref.down[i].block[j])
+        if i != n_res - 1:
+            ds = ref.down[i].downsample.conv
+            p[f"down{i}_ds"]["Conv_0"]["kernel"] = jnp.asarray(
+                _conv(_t2n(ds.weight))
+            )
+            p[f"down{i}_ds"]["Conv_0"]["bias"] = jnp.asarray(_t2n(ds.bias))
+    _put_resnet_block(p["mid_block1"], ref.mid.block_1)
+    _put_resnet_block(p["mid_block2"], ref.mid.block_2)
+    for i in range(n_res):
+        for j in range(num_res_blocks + 1):
+            _put_resnet_block(p[f"up{i}_block{j}"], ref.up[i].block[j])
+        if i != 0:
+            us = ref.up[i].upsample.conv
+            p[f"up{i}_us"]["Conv_0"]["kernel"] = jnp.asarray(
+                _conv(_t2n(us.weight))
+            )
+            p[f"up{i}_us"]["Conv_0"]["bias"] = jnp.asarray(_t2n(us.bias))
+    p["GroupNorm_0"]["scale"] = jnp.asarray(_t2n(ref.norm_out.weight))
+    p["GroupNorm_0"]["bias"] = jnp.asarray(_t2n(ref.norm_out.bias))
+    p["conv_out"]["kernel"] = jnp.asarray(_conv(_t2n(ref.conv_out.weight)))
+    p["conv_out"]["bias"] = jnp.asarray(_t2n(ref.conv_out.bias))
+
+
 def _put_resnet_block(dst, block):
     import jax.numpy as jnp
 
@@ -439,40 +477,8 @@ def test_diffusion_unet_parity():
     xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
     tn = jnp.asarray(t)
     variables = ours.init(jax.random.PRNGKey(0), xn, tn)
-    p = variables["params"]
-
-    p["Dense_0"]["kernel"] = jnp.asarray(_t2n(ref.temb.dense[0].weight).T)
-    p["Dense_0"]["bias"] = jnp.asarray(_t2n(ref.temb.dense[0].bias))
-    p["Dense_1"]["kernel"] = jnp.asarray(_t2n(ref.temb.dense[1].weight).T)
-    p["Dense_1"]["bias"] = jnp.asarray(_t2n(ref.temb.dense[1].bias))
-    p["conv_in"]["kernel"] = jnp.asarray(_conv(_t2n(ref.conv_in.weight)))
-    p["conv_in"]["bias"] = jnp.asarray(_t2n(ref.conv_in.bias))
-
-    n_res = len(cfg.model.ch_mult)
-    for i in range(n_res):
-        for j in range(cfg.model.num_res_blocks):
-            _put_resnet_block(p[f"down{i}_block{j}"], ref.down[i].block[j])
-        if i != n_res - 1:
-            ds = ref.down[i].downsample.conv
-            p[f"down{i}_ds"]["Conv_0"]["kernel"] = jnp.asarray(
-                _conv(_t2n(ds.weight))
-            )
-            p[f"down{i}_ds"]["Conv_0"]["bias"] = jnp.asarray(_t2n(ds.bias))
-    _put_resnet_block(p["mid_block1"], ref.mid.block_1)
-    _put_resnet_block(p["mid_block2"], ref.mid.block_2)
-    for i in range(n_res):
-        for j in range(cfg.model.num_res_blocks + 1):
-            _put_resnet_block(p[f"up{i}_block{j}"], ref.up[i].block[j])
-        if i != 0:
-            us = ref.up[i].upsample.conv
-            p[f"up{i}_us"]["Conv_0"]["kernel"] = jnp.asarray(
-                _conv(_t2n(us.weight))
-            )
-            p[f"up{i}_us"]["Conv_0"]["bias"] = jnp.asarray(_t2n(us.bias))
-    p["GroupNorm_0"]["scale"] = jnp.asarray(_t2n(ref.norm_out.weight))
-    p["GroupNorm_0"]["bias"] = jnp.asarray(_t2n(ref.norm_out.bias))
-    p["conv_out"]["kernel"] = jnp.asarray(_conv(_t2n(ref.conv_out.weight)))
-    p["conv_out"]["bias"] = jnp.asarray(_t2n(ref.conv_out.bias))
+    transplant_unet(variables["params"], ref, len(cfg.model.ch_mult),
+                    cfg.model.num_res_blocks)
 
     got = np.transpose(
         np.asarray(ours.apply(variables, xn, tn)), (0, 3, 1, 2)
