@@ -171,6 +171,10 @@ class HeterModel(nn.Module):
     unet_ch_mult: Sequence[int] = (1, 1)
     unet_num_res_blocks: int = 2
     missing_message_rate: float = 0.0  # eval-time robustness injection
+    # 'trick' (gencomm_stage2.py:40,285-294): zero the generated features
+    # where the simulation-side true features are spatially empty. Config
+    # default off in every shipped yaml.
+    gencomm_trick: bool = False
     # BackAlign-style eval-time feature corruption on non-ego agents
     # (heter_model_baseline_w_backalign.py:252-260): random per-pixel drop
     # + additive Gaussian noise on the transmitted features.
@@ -474,6 +478,11 @@ class HeterModel(nn.Module):
             out["pred_feature"] = pred
             out["feature_mask"] = agent_mask.reshape(-1)
             fused_in = pred
+            if self.gencomm_trick:
+                smask = jnp.any(
+                    out["gt_feature"] != 0, axis=-1, keepdims=True
+                ).astype(pred.dtype)
+                fused_in = pred * smask
             if self.use_enhancer:
                 fused_in = Enhancer(dim=pred.shape[-1], name="enhancer")(fused_in)
             feature = fused_in.reshape((b, l) + hw + (pred.shape[-1],))
@@ -544,6 +553,7 @@ def build_model(hypes: dict) -> HeterModel:
         unet_ch=unet_cfg.get("ch", 8),
         unet_ch_mult=tuple(unet_cfg.get("ch_mult", (1, 1))),
         unet_num_res_blocks=unet_cfg.get("num_res_blocks", 2),
+        gencomm_trick=bool(args.get("trick", False)),
         missing_message_rate=(
             0.4 if (use_gencomm and args.get("missing_message", False))
             else 0.0
