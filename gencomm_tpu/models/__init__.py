@@ -58,6 +58,10 @@ def create_model(hypes: dict):
             uncertainty_dim=args.get("uncertainty_dim", 3),
             dir_bins=args.get("dir_args", {}).get("num_bins", 0),
         )
+    if core == "point_pillar_baseline_multiscale":
+        from gencomm_tpu.models.multiscale import MultiscaleFusionModel
+
+        return MultiscaleFusionModel.from_config(hypes)
     if core == "fpvrcnn":
         from gencomm_tpu.models.fpvrcnn import build_fpvrcnn
 

@@ -30,8 +30,15 @@ class BEVBackbone(nn.Module):
         return list(zip(self.layer_nums, self.layer_strides, self.num_filters))
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, level_fuse=None):
+        """level_fuse(i, feat) -> feat: optional per-level hook applied
+        between encode and decode — the multiscale intermediate-fusion
+        mechanism (point_pillar_baseline_multiscale.py:115-120 /
+        att_bev_backbone.py:140-155). Modules the hook constructs attach
+        to THIS backbone's scope (flax compact context)."""
         feats = self.encode_multiscale(x, train)
+        if level_fuse is not None:
+            feats = [level_fuse(i, f) for i, f in enumerate(feats)]
         return self.decode_multiscale(feats, train)
 
     def encode_multiscale(self, x, train: bool = False):

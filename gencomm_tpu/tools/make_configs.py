@@ -296,6 +296,35 @@ def intermediate_fusion_config(dataset, method, lidar_range, tag="m1",
     return cfg
 
 
+def multiscale_fusion_config(dataset, method, lidar_range, name=None):
+    """Multiscale intermediate fusion: fuse agents at every backbone level
+    (reference point_pillar_baseline_multiscale.py:92-134; CoAlign
+    lineage). ``method`` is 'att' or 'max'."""
+    cfg = base_config(
+        name or f"{dataset}_point_pillar_{method}_multiscale", dataset,
+        lidar_range)
+    bb = {"layer_nums": [3, 5, 8], "layer_strides": [2, 2, 2],
+          "num_filters": [64, 128, 256], "upsample_strides": [1, 2, 4],
+          "num_upsample_filter": [128, 128, 128]}
+    args = {
+        "lidar_range": list(lidar_range),
+        "voxel_size": [0.4, 0.4, 4.0],
+        "pillar_vfe": {"num_filters": [64], "use_norm": True},
+        "base_bev_backbone": bb,
+        "fusion_method": method,
+        "att": {"feat_dim": bb["num_filters"]},
+        "shrink_header": {"kernal_size": [3], "stride": [1],
+                          "padding": [1], "dim": [256]},
+        "anchor_number": 2,
+        "dir_args": dict(DIR_ARGS),
+    }
+    cfg["postprocess"] = postprocess_block(lidar_range, stride=2)
+    cfg["loss"] = detection_loss()
+    cfg["model"] = {"core_method": "point_pillar_baseline_multiscale",
+                    "args": args}
+    return cfg
+
+
 GENCOMM_BLOCK = {
     "model": {"embed_dim": 130, "in_channels": 128, "out_ch": 128,
               "ch": 8, "ch_mult": [1, 1], "num_res_blocks": 2,
@@ -653,6 +682,13 @@ def main(argv=None):
              pyramid_config("opv2v", LIDAR_RANGE, collab=True, tag=tag,
                             name=f"opv2v_{prefix}_pyramid"),
              subdir=sub, fname=f"{prefix}_pyramid")
+        if prefix == "lidar":
+            for ms_method in ("att", "max"):
+                emit("opv2v",
+                     multiscale_fusion_config(
+                         "opv2v", ms_method, LIDAR_RANGE,
+                         name=f"opv2v_lidar_{ms_method}_multiscale"),
+                     subdir=sub, fname=f"lidar_{ms_method}_multiscale")
 
     # multi-modality end-to-end training (reference MoreModality/
     # {2,3,4}_modality_end2end_training)

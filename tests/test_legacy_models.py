@@ -125,3 +125,48 @@ def test_center_point_model_and_loss(batch):
     t = jnp.zeros((4, 4)).at[1, 1].set(1.0)
     logits = jnp.full((4, 4), -20.0).at[1, 1].set(20.0)
     assert float(gaussian_focal_loss(logits, t).sum()) < 1e-3
+
+
+def test_multiscale_fusion_model(batch):
+    """point_pillar_baseline_multiscale parity structure: per-level Att/Max
+    fusion between backbone encode and decode (reference :92-134); the
+    fused output feeds shrink + heads with NO later fusion."""
+    from gencomm_tpu.models.multiscale import MultiscaleFusionModel
+
+    model = MultiscaleFusionModel(
+        voxel_size=(0.4, 0.4, 4.0),
+        lidar_range=TINY.lidar_range,
+        backbone_args={
+            "layer_nums": [1, 1], "layer_strides": [1, 2],
+            "num_filters": [32, 48], "upsample_strides": [1, 2],
+            "num_upsample_filter": [32, 32],
+        },
+        fusion_method="att",
+        att_feat_dims=(32, 48),
+        anchor_num=2,
+    )
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out = model.apply(v, batch, train=False)
+    h = int((TINY.lidar_range[4] - TINY.lidar_range[1]) / 0.4)
+    w = int((TINY.lidar_range[3] - TINY.lidar_range[0]) / 0.4)
+    assert out["cls_preds"].shape[:3] == (1, h, w)  # stride-1 concat grid
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+    # per-level fusion params exist (one attention per backbone level)
+    assert "fuse0" not in v["params"]  # AttFusion is parameter-free
+    assert "heads" in v["params"]
+
+    # max variant also runs
+    model_max = MultiscaleFusionModel(
+        voxel_size=(0.4, 0.4, 4.0),
+        lidar_range=TINY.lidar_range,
+        backbone_args={
+            "layer_nums": [1], "layer_strides": [2],
+            "num_filters": [32], "upsample_strides": [1],
+            "num_upsample_filter": [32],
+        },
+        fusion_method="max",
+        anchor_num=2,
+    )
+    v2 = model_max.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out2 = model_max.apply(v2, batch, train=False)
+    assert np.isfinite(np.asarray(out2["cls_preds"])).all()
