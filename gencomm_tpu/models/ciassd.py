@@ -123,7 +123,7 @@ class SecondModel(nn.Module):
             voxel_size=self.voxel_size, lidar_range=self.lidar_range,
             max_voxels=self.max_voxels, name="trunk",
         )(batch, train)
-        feat = BEVBackbone(
+        backbone = BEVBackbone(
             layer_nums=tuple(self.backbone_args["layer_nums"]),
             layer_strides=tuple(self.backbone_args["layer_strides"]),
             num_filters=tuple(self.backbone_args["num_filters"]),
@@ -134,18 +134,27 @@ class SecondModel(nn.Module):
                 self.backbone_args.get("num_upsample_filter", ())
             ),
             name="backbone",
-        )(flat, train)
+        )
+        level_fuse = None
         if self.intermediate:
+            # per-level attentive fusion inside the backbone — the
+            # reference's AttBEVBackbone dataflow (att_bev_backbone.py:
+            # 140-155): the UNFUSED features continue through the stages,
+            # each stage's fused map feeds its deconv up-head
             hm = self.lidar_range[4] - self.lidar_range[1]
             wm = self.lidar_range[3] - self.lidar_range[0]
             affine = normalize_pairwise_tfm(
                 batch["pairwise_t_matrix"], hm, wm, 1.0
             ).astype(jnp.float32)
-            grouped = feat.reshape((b, l) + feat.shape[1:])
-            feat = build_fusion(
-                "att", {"att": {"feat_dim": feat.shape[-1]}},
-                name="fusion_net",
-            )(grouped, affine, batch["agent_mask"], train)
+
+            def level_fuse(i, f):
+                grouped = f.reshape((b, l) + f.shape[1:])
+                return build_fusion(
+                    "att", {"att": {"feat_dim": f.shape[-1]}},
+                    name=f"fuse{i}",
+                )(grouped, affine, batch["agent_mask"], train)
+
+        feat = backbone(flat, train, level_fuse=level_fuse)
         cls = nn.Conv(self.anchor_num, (1, 1), name="cls_head")(feat)
         reg = nn.Conv(7 * self.anchor_num, (1, 1), name="reg_head")(feat)
         return {"cls_preds": cls, "reg_preds": reg}
