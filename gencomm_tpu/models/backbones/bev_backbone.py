@@ -44,9 +44,11 @@ class BEVBackbone(nn.Module):
     def encode_multiscale(self, x, train: bool = False):
         feats = []
         for i, (n_layers, stride, filters) in enumerate(self._blocks()):
-            x = ConvBNReLU(filters, kernel=3, stride=stride, name=f"block{i}_0")(
-                x, train
-            )
+            # torch_pad: the reference's strided stem convs are
+            # ZeroPad2d(1)+conv (pad 1); on EVEN grids (the real BEV sizes)
+            # stride-2 SAME pads (0,1) and shifts alignment — see ConvBNReLU
+            x = ConvBNReLU(filters, kernel=3, stride=stride, torch_pad=True,
+                           name=f"block{i}_0")(x, train)
             for k in range(n_layers):
                 x = ConvBNReLU(filters, kernel=3, name=f"block{i}_{k + 1}")(x, train)
             feats.append(x)

@@ -34,8 +34,9 @@ class BasicBlock(nn.Module):
             use_running_average=not train, momentum=0.99, epsilon=1e-3
         )
         identity = x
+        # explicit pad-1: torch semantics on even grids at stride 2
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         y = nn.relu(bn()(y))
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(y)
         y = bn()(y)
@@ -66,8 +67,9 @@ class Bottleneck(nn.Module):
         identity = x
         y = nn.Conv(width, (1, 1), use_bias=False)(x)
         y = nn.relu(bn()(y))
+        # explicit pad-1: torch semantics on even grids at stride 2
         y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False,
+                    padding=((1, 1), (1, 1)), use_bias=False,
                     feature_group_count=self.groups)(y)
         y = nn.relu(bn()(y))
         y = nn.Conv(self.features, (1, 1), use_bias=False)(y)

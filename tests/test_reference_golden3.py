@@ -252,6 +252,10 @@ def _randomize_bn_stats(module, rng):
         # ConvTranspose orientation
         ({"layer_nums": [2], "layer_strides": [2], "num_filters": [32],
           "upsample_strides": [2], "num_upsample_filter": [32]}, (25, 49)),
+        # strided level on EVEN dims (the real BEV grid sizes): torch pad-1
+        # and stride-2 SAME DISAGREE here; our backbones use torch_pad
+        ({"layer_nums": [2], "layer_strides": [2], "num_filters": [32],
+          "upsample_strides": [2], "num_upsample_filter": [32]}, (16, 24)),
         # two stride-1 levels: exercises multi-level concat order
         ({"layer_nums": [1, 1], "layer_strides": [1, 1],
           "num_filters": [16, 16], "upsample_strides": [1, 1],
@@ -518,7 +522,9 @@ def test_resnext_bottleneck_parity():
                 m.weight.normal_(0, 0.1)
     _randomize_bn_stats(ref, rng)
 
-    x = rng.normal(size=(2, cin, 25, 49)).astype(np.float32)
+    # EVEN dims: the real BEV grid regime where stride-2 SAME and torch
+    # pad-1 disagree — our Bottleneck uses explicit pad-1
+    x = rng.normal(size=(2, cin, 24, 48)).astype(np.float32)
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(x)).numpy()
 
