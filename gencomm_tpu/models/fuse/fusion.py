@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from gencomm_tpu.ops.warp import warp_affine
+from gencomm_tpu.ops.warp import warp_affine, warp_affine_nhwc
 from gencomm_tpu.registry import FUSIONS
 
 _NEG = -1e9
@@ -35,12 +35,13 @@ def warp_to_ego(x, affine):
     (ops/warp.py) — TPU's default bf16 passes round the coordinates.
     With that fix the gather formulation measures faster than the MXU
     Pallas kernel (ops/warp_pallas.py) at fusion sizes; the kernel remains
-    available via warp_affine_auto for larger maps.
+    available via warp_affine_auto for larger maps. Channels-last
+    row-gather layout (warp_affine_nhwc): C contiguous elements per
+    gathered pixel instead of one scalar per (c, pixel) — the scalar
+    variant was the single hottest device op on the flagship (1.24 ms).
     """
-    nchw = jnp.transpose(x, (0, 1, 4, 2, 3))  # (B, L, C, H, W)
     theta = affine[:, 0]  # (B, L, 2, 3)
-    warped = warp_affine(nchw, theta)
-    return jnp.transpose(warped, (0, 1, 3, 4, 2))
+    return warp_affine_nhwc(x, theta)
 
 
 @FUSIONS.register("max")
