@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from gencomm_tpu.ops.warp_pallas import warp_affine_auto
+from gencomm_tpu.ops.warp import warp_affine_nhwc
 from gencomm_tpu.registry import FUSIONS
 
 
@@ -51,24 +51,21 @@ class V2VNetFusion(nn.Module):
         gru = ConvGRUCell(hidden_dim=c, name="conv_gru")
         out_mlp = nn.Dense(c, name="mlp")
 
-        nchw = jnp.transpose(x, (0, 1, 4, 2, 3))
-        ones = jnp.ones((b, l, 1, h, w), x.dtype)
+        ones = jnp.ones((b, l, h, w, 1), x.dtype)
 
-        def warp_all_to(target_idx, feats_nchw):
-            """Warp every agent's map into agent ``target_idx``'s frame."""
+        def warp_all_to(target_idx, feats_nhwc):
+            """Warp every agent's map into agent ``target_idx``'s frame
+            (NHWC row-gather — see ops/warp.grid_sample_bilinear_nhwc)."""
             theta = affine[:, target_idx]  # (B, L, 2, 3)
-            return warp_affine_auto(feats_nchw, theta)
+            return warp_affine_nhwc(feats_nhwc, theta)
 
         node = x  # (B, L, H, W, C)
         valid = agent_mask[..., None, None, None].astype(x.dtype)
         for _ in range(self.num_iteration):
-            node_nchw = jnp.transpose(node, (0, 1, 4, 2, 3))
 
             def update_one(i):
-                warped = warp_all_to(i, node_nchw)  # (B, L, C, H, W)
-                roi = warp_all_to(i, ones)  # (B, L, 1, H, W)
-                warped = jnp.transpose(warped, (0, 1, 3, 4, 2))
-                roi = jnp.transpose(roi, (0, 1, 3, 4, 2))
+                warped = warp_all_to(i, node)  # (B, L, H, W, C)
+                roi = warp_all_to(i, ones)  # (B, L, H, W, 1)
                 ego = jnp.broadcast_to(node[:, i : i + 1], warped.shape)
                 msg = msg_conv(
                     jnp.concatenate([warped, ego], axis=-1).reshape(
