@@ -180,7 +180,12 @@ class PointPillarMPDALoss(PointPillarLoss):
 class PointPillarDiscoNetLoss(PointPillarLoss):
     """DiscoNet knowledge distillation (point_pillar_disconet_loss.py):
     detection loss + KL(log_softmax(student_feature_ch) ||
-    softmax(teacher_feature_ch)) over the channel axis."""
+    softmax(teacher_feature_ch)) over the channel axis.
+
+    Reduction parity: the reference's ``nn.KLDivLoss(size_average=True,
+    reduce=True)`` is torch's ELEMENTWISE mean — sum over rows AND
+    channels divided by N*H*W*C (point_pillar_disconet_loss.py:34-39) —
+    not the per-row KL averaged over rows (which would be C x larger)."""
 
     def __init__(self, args: dict):
         super().__init__(args)
@@ -196,7 +201,7 @@ class PointPillarDiscoNetLoss(PointPillarLoss):
             s = output["student_feature"].reshape(-1, t.shape[-1])
             logp = jax.nn.log_softmax(s, axis=-1)
             q = jax.nn.softmax(jax.lax.stop_gradient(t), axis=-1)
-            kd = (q * (jnp.log(q + 1e-12) - logp)).sum(-1).mean()
+            kd = (q * (jnp.log(q + 1e-12) - logp)).mean()
             kd = kd * self.kd_weight
             losses["kd_loss"] = kd
             losses["total_loss"] = losses["total_loss"] + kd

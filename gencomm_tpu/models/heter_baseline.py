@@ -489,6 +489,10 @@ class HeterModel(nn.Module):
 
         fusion = build_fusion(self.fusion_method, self.fusion_args, name="fusion_net")
         fused = fusion(feature, affine, agent_mask, train)
+        # the fused BEV feature, exposed for KD distillation (reference
+        # point_pillar_disconet.py emits output_dict['feature'] for
+        # train_w_kd.py; the teacher's copy becomes 'teacher_feature')
+        out["feature"] = fused
 
         if self.gmatch and self.use_gencomm:
             # T path: original features through the SAME fusion + heads

@@ -297,6 +297,18 @@ def main(argv=None):
         # with frozen weights from --teacher_ckpt
         if not args.teacher_ckpt:
             raise SystemExit("--trainer kd requires --teacher_ckpt")
+        from gencomm_tpu.loss.point_pillar_loss import (
+            PointPillarDiscoNetLoss,
+        )
+
+        if not isinstance(criterion, PointPillarDiscoNetLoss):
+            # the reference's train_w_kd.py expects the yaml to name
+            # point_pillar_disconet_loss; upgrade plain detection configs
+            # so the KD term is actually applied
+            criterion = PointPillarDiscoNetLoss(hypes["loss"]["args"])
+            print("trainer kd: upgraded criterion to "
+                  "PointPillarDiscoNetLoss (kd weight "
+                  f"{criterion.kd_weight})")
         t_restored = checkpoint.load_checkpoint(
             checkpoint.latest_checkpoint(args.teacher_ckpt)
             or args.teacher_ckpt

@@ -326,11 +326,13 @@ def make_eval_step(model, criterion):
 
 
 def make_kd_train_step(student, teacher, teacher_vars, criterion, tx,
-                       feature_key: str = "gt_feature",
+                       feature_key: str = "feature",
                        donate: bool = False):
     """DiscoNet knowledge distillation (tools/train_w_kd.py): the frozen
     teacher's features are injected into the student's outputs for the
-    KD criterion (point_pillar_disconet_loss)."""
+    KD criterion (point_pillar_disconet_loss). ``feature_key`` names the
+    distilled tensor in the model outputs — "feature" is the fused BEV
+    map every HeterModel emits (reference point_pillar_disconet.py)."""
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
