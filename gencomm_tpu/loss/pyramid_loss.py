@@ -123,6 +123,26 @@ class PointPillarPyramidLoss(PointPillarDepthLoss):
             total = total + loss * self.pyramid_weight[i]
         return total
 
+    @staticmethod
+    def _per_agent_targets(target: dict) -> dict:
+        """The single model / collab "_single" pass supervise (B*L, ...)
+        per-agent head maps (reference trains heter_pyramid_single with one
+        agent per sample); when the loader provides per-agent labels
+        (*_single keys, intermediate_heter_fusion_dataset.py
+        label_dict_single), flatten their (B, L) lead to match."""
+        if "pos_equal_one_single" not in target:
+            return target
+
+        def flat(a):
+            return a.reshape((-1,) + a.shape[2:])
+
+        return dict(
+            target,
+            pos_equal_one=flat(target["pos_equal_one_single"]),
+            neg_equal_one=flat(target["neg_equal_one_single"]),
+            targets=flat(target["targets_single"]),
+        )
+
     def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
         mode = self.mode
         if mode == "collab" and suffix == "":
@@ -131,16 +151,18 @@ class PointPillarPyramidLoss(PointPillarDepthLoss):
             return super().__call__(output, target, suffix)
         if mode == "collab":
             # "_single" pass supervises only the occupancy maps
+            tgt = self._per_agent_targets(target)
             occ = self.occ_loss(
                 output["occ_single_list"],
-                target["pos_equal_one"], target["neg_equal_one"],
+                tgt["pos_equal_one"], tgt["neg_equal_one"],
             )
             return {"pyramid_loss": occ, "total_loss": occ}
-        # single model: detection + occupancy
-        losses = super().__call__(output, target, suffix)
+        # single model: detection + occupancy over every agent's head maps
+        tgt = self._per_agent_targets(target)
+        losses = super().__call__(output, tgt, suffix)
         occ = self.occ_loss(
             output["occ_single_list"],
-            target["pos_equal_one"], target["neg_equal_one"],
+            tgt["pos_equal_one"], tgt["neg_equal_one"],
         )
         losses["pyramid_loss"] = occ
         losses["total_loss"] = losses["total_loss"] + occ

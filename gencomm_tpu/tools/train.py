@@ -34,7 +34,8 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
         core = hypes.get("model", {}).get("core_method", "").lower()
         needs_single = bool(margs.get("supervise_single")) or any(
             core.startswith(c) for c in
-            ("ciassd", "second", "fpvrcnn", "point_pillar_uncertainty")
+            ("ciassd", "second", "fpvrcnn", "point_pillar_uncertainty",
+             "heter_pyramid_single")
         )
         # derive the modality layout from the hypes so camera / hetero
         # configs get geometrically consistent synthetic inputs
