@@ -78,7 +78,19 @@ class PointPillarLoss:
         """output: cls_preds (B,H,W,A), reg_preds (B,H,W,A*7),
         dir_preds (B,H,W,A*nb); target: pos/neg_equal_one (B,H,W,A),
         targets (B,H,W,A*7). Returns dict of scalar losses.
+
+        A "_single" suffix pass (reference train.py:152-158 passes
+        ``label_dict_single`` as the target dict) supervises per-agent
+        head maps against the loader's per-agent labels, whose (B, L)
+        lead is flattened to the heads' (B*L, ...).
         """
+        if suffix == "_single" and "pos_equal_one_single" in target:
+            target = dict(
+                target,
+                **{k: target[f"{k}_single"].reshape(
+                    (-1,) + target[f"{k}_single"].shape[2:])
+                   for k in ("pos_equal_one", "neg_equal_one", "targets")},
+            )
         cls_preds = output[f"cls_preds{suffix}"]
         reg_preds = output[f"reg_preds{suffix}"]
         b = cls_preds.shape[0]

@@ -447,18 +447,25 @@ def single_pretrain_config(dataset, tag, lidar_range):
 
 
 def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
+    # the modality is NAMED by its tag — reference HEAL stage1/stage2 yamls
+    # key modality_setting/model args by the true type (m2_single_pyramid
+    # .yaml:22-31 uses m2), so stage-2 branches merge into the collab base
+    # without a rename pass
     cfg = base_config(
         name or f"{dataset}_heal_pyramid_{'collab' if collab else 'single'}",
         dataset, lidar_range)
-    cfg["heter"]["modality_setting"]["m1"] = modality_setting(
-        tag, lidar_range)
+    cfg["heter"]["modality_setting"] = {
+        tag: modality_setting(tag, lidar_range)
+    }
+    cfg["heter"]["ego_modality"] = tag
+    cfg["heter"]["mapping_dict"] = {f"m{i}": tag for i in range(1, 5)}
     if tag in ("m2", "m4"):
         cfg["input_source"] = ["camera"]
         cfg["label_type"] = "camera"
     args = {
-        "ego_modality": "m1",
+        "ego_modality": tag,
         "lidar_range": list(lidar_range),
-        "m1": modality_branch(tag, lidar_range),
+        tag: modality_branch(tag, lidar_range),
         "fusion_method": "pyramid",
         "fusion_backbone": {"resnext": True, "layer_nums": [3, 5, 8],
                             "layer_strides": [1, 2, 2],
@@ -478,6 +485,11 @@ def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
                         else "heter_pyramid_single"),
         "args": args,
     }
+    if collab:
+        # stage-1 collab training supervises the per-agent occupancy maps
+        # through a second "_single" criterion pass (reference
+        # m1_pyramid.yaml:95 supervise_single + train.py:152-158)
+        args["supervise_single"] = True
     cfg["loss"] = detection_loss(
         "point_pillar_pyramid_loss",
         {"pyramid": {"relative_downsample": [1, 2, 4],
@@ -487,6 +499,33 @@ def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
     # this assembly) — reference HEAL yamls use feature_stride 2
     # (m1m2m3_pyramid.yaml:116)
     cfg["postprocess"] = postprocess_block(lidar_range, stride=2)
+    return cfg
+
+
+def pyramid_collab_multi_config(dataset, lidar_range, tags=("m1", "m2"),
+                                name=None):
+    """HEAL final-inference assembly: one pyramid-collab model holding a
+    branch per agent type (reference final_infer/m1m2m3m4.yaml), run with
+    the checkpoint assembled by ``heal_tools merge`` from the stage-1 base
+    + each stage-2 single model."""
+    cfg = pyramid_config(dataset, lidar_range, collab=True, tag=tags[0],
+                         name=name or
+                         f"{dataset}_heal_final_{''.join(tags)}")
+    sensors = {modality_setting(t, lidar_range)["sensor_type"]
+               for t in tags}
+    cfg["input_source"] = sorted(sensors)
+    cfg.pop("label_type", None)
+    cfg["heter"]["ego_modality"] = tags[0]
+    cfg["heter"]["mapping_dict"] = {
+        f"m{i}": tags[(i - 1) % len(tags)] for i in range(1, 5)
+    }
+    cfg["heter"]["modality_setting"] = {
+        t: modality_setting(t, lidar_range) for t in tags
+    }
+    args = cfg["model"]["args"]
+    args["ego_modality"] = tags[0]
+    for t in tags[1:]:
+        args[t] = modality_branch(t, lidar_range)
     return cfg
 
 
@@ -750,8 +789,13 @@ def main(argv=None):
                             name=f"opv2v_heal_stage2_{tag}_single"),
              subdir="heal/stage2", fname=f"{tag}_single_pyramid")
     emit("opv2v",
-         pyramid_config("opv2v", LIDAR_RANGE, collab=True,
-                        name="opv2v_heal_final_m1m2m3m4"),
+         pyramid_collab_multi_config("opv2v", LIDAR_RANGE,
+                                     tags=("m1", "m2")),
+         subdir="heal/final_infer", fname="m1m2")
+    emit("opv2v",
+         pyramid_collab_multi_config("opv2v", LIDAR_RANGE,
+                                     tags=("m1", "m2", "m3", "m4"),
+                                     name="opv2v_heal_final_m1m2m3m4"),
          subdir="heal/final_infer", fname="m1m2m3m4")
 
     # single-agent pretrains (reference Single/*_pretrain.yaml)

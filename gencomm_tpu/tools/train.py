@@ -230,6 +230,16 @@ def main(argv=None):
         frozen = trainer.backalign_frozen_modules(hypes)
         print("backalign freeze:", frozen)
         frozen_pred = trainer.freeze_exact(frozen)
+    elif hypes["model"]["core_method"].lower() == "heter_pyramid_single":
+        # HEAL stage 2: the single model ALWAYS trains with the shared
+        # pyramid + detection heads frozen (heter_pyramid_single.py:27
+        # fix_modules = ['pyramid_backbone', cls/reg/dir heads]) — only the
+        # new agent's encoder/backbone/aligner learns, back-aligning it to
+        # the stage-1 base restored via --init_from
+        print("pyramid-single freeze: ['pyramid_backbone', 'heads']")
+        frozen_pred = trainer.freeze_by_prefixes(
+            ["pyramid_backbone", "heads"]
+        )
     elif "codebook" in hypes["model"]["core_method"].lower():
         # CodeFilling: only the quantizer trains
         # (heter_model_baseline_w_codebook.py fix_modules)
@@ -326,8 +336,12 @@ def main(argv=None):
             donate=True,
         )
     else:
-        step_fn = trainer.make_train_step(model, criterion, tx, frozen_pred,
-                                          donate=True)
+        step_fn = trainer.make_train_step(
+            model, criterion, tx, frozen_pred, donate=True,
+            supervise_single=bool(
+                hypes["model"]["args"].get("supervise_single")
+            ),
+        )
     eval_fn = trainer.make_eval_step(model, criterion)
     epochs = args.epochs or hypes["train_params"]["epoches"]
     eval_freq = hypes["train_params"].get("eval_freq", 1)

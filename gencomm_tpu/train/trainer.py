@@ -257,7 +257,8 @@ def create_train_state(model, batch, rng, tx) -> TrainState:
 
 def make_train_step(model, criterion, tx,
                     frozen_predicate: Callable[[tuple], bool] | None = None,
-                    donate: bool = False):
+                    donate: bool = False,
+                    supervise_single: bool = False):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     ``donate=True`` donates the input TrainState buffers to the update
@@ -286,6 +287,18 @@ def make_train_step(model, criterion, tx,
                 rngs=rngs,
             )
             losses = criterion(out, batch)
+            if supervise_single:
+                # second criterion pass over per-agent head maps
+                # (reference train.py:152-158 with label_dict_single)
+                single = criterion(out, batch, suffix="_single")
+                losses = dict(
+                    losses,
+                    **{(k if k not in losses else f"{k}_single"): v
+                       for k, v in single.items() if k != "total_loss"},
+                )
+                losses["total_loss"] = (
+                    losses["total_loss"] + single["total_loss"]
+                )
             return losses["total_loss"], (losses, mutated["batch_stats"])
 
         grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
