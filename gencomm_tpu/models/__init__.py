@@ -66,6 +66,10 @@ def create_model(hypes: dict):
         from gencomm_tpu.models.fpvrcnn import build_fpvrcnn
 
         return build_fpvrcnn(hypes)
+    if core == "heter_model_baseline_ms":
+        from gencomm_tpu.models.heter_pyramid import build_ms_model
+
+        return build_ms_model(hypes)
     if "pyramid" in core:
         from gencomm_tpu.models.heter_pyramid import build_pyramid_model
 

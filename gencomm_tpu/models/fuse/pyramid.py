@@ -141,3 +141,89 @@ class PyramidFusion(nn.Module):
             resnext=bool(cfg.get("resnext", True)),
             name=name,
         )
+
+
+@FUSIONS.register("multiscale_ms")
+class MsFusion(nn.Module):
+    """Multiscale Max/Att fusion over a shared fusion backbone's levels.
+
+    Parity target: opencood/models/heter_model_baseline_ms.py:196-210 with
+    sub_modules/base_bev_backbone_resnet.py:119-142 — level 0 is the
+    per-agent input itself ("we omit self.backbone's first layer": the
+    fusion backbone's layer 0 is constructed but never run); each further
+    level is ResNet ``layer_i`` applied to the previous *per-agent* feature
+    (fusion happens per level, not cumulatively); every level gets its own
+    MaxFusion/AttFusion; the fused maps go through the backbone's
+    ``decode_multiscale_feature`` deconv heads and are concatenated.
+
+    Input x: (B, L, H, W, C) padded agent axis; affine (B, L, L, 2, 3);
+    agent_mask (B, L). Returns (B, H', W', sum(num_upsample_filters)).
+    """
+
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[int] = ()
+    num_upsample_filters: Sequence[int] = ()
+    fusion_method: str = "att"
+    att_feat_dims: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, x, affine, agent_mask, train: bool = False):
+        from gencomm_tpu.models.fuse.fusion import AttFusion, MaxFusion
+
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        feats = [flat]
+        for i in range(1, len(self.layer_nums)):
+            flat = BasicBlock(
+                self.num_filters[i], stride=self.layer_strides[i],
+                name=f"layer{i}_0",
+            )(flat, train)
+            for k in range(1, self.layer_nums[i]):
+                flat = BasicBlock(self.num_filters[i], name=f"layer{i}_{k}")(
+                    flat, train
+                )
+            feats.append(flat)
+
+        fused = []
+        for i, f in enumerate(feats):
+            per_agent = f.reshape((b, l) + f.shape[1:])
+            if self.fusion_method == "max":
+                fm = MaxFusion(name=f"fuse{i}")
+            else:
+                fd = (self.att_feat_dims[i] if i < len(self.att_feat_dims)
+                      else f.shape[-1])
+                fm = AttFusion(feat_dim=fd, name=f"fuse{i}")
+            fused.append(fm(per_agent, affine, agent_mask, train))
+
+        ups = []
+        for i, f in enumerate(fused):
+            if i < len(self.upsample_strides):
+                s = self.upsample_strides[i]
+                nf = self.num_upsample_filters[i]
+                if s >= 1:
+                    f = DeconvBNReLU(nf, stride=int(s), name=f"deblock{i}")(
+                        f, train
+                    )
+                else:
+                    k = int(round(1 / s))
+                    f = ConvBNReLU(nf, kernel=k, stride=k, name=f"deblock{i}")(
+                        f, train
+                    )
+            ups.append(f)
+        return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+
+    @staticmethod
+    def from_config(cfg: dict, fusion_method: str = "att",
+                    att_feat_dims=(), name: str | None = None) -> "MsFusion":
+        return MsFusion(
+            layer_nums=tuple(cfg["layer_nums"]),
+            layer_strides=tuple(cfg["layer_strides"]),
+            num_filters=tuple(cfg["num_filters"]),
+            upsample_strides=tuple(cfg.get("upsample_strides", ())),
+            num_upsample_filters=tuple(cfg.get("num_upsample_filter", ())),
+            fusion_method=fusion_method,
+            att_feat_dims=tuple(att_feat_dims),
+            name=name,
+        )

@@ -212,6 +212,93 @@ class HeterPyramidModel(nn.Module):
         return feat
 
 
+@MODELS.register("heter_model_baseline_ms")
+class HeterMsModel(HeterPyramidModel):
+    """Heterogeneous multiscale fusion baseline.
+
+    Parity target: opencood/models/heter_model_baseline_ms.py — the same
+    per-modality encoder -> ResNetBEVBackbone -> AlignNet -> camera-crop
+    branches as the pyramid models (hence the subclass: ``_branch`` is
+    shared), but fused by per-level Max/Att fusion over a shared fusion
+    backbone (``MsFusion``) instead of occupancy-weighted pyramid fusion,
+    plus optional pre-fusion single-agent supervision heads (:188-196).
+    """
+
+    fusion_method: str = "att"
+    att_feat_dims: Tuple[int, ...] = ()
+    supervise_single: bool = False
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False):
+        from gencomm_tpu.models.fuse.pyramid import MsFusion
+        from gencomm_tpu.models.heads import DetectionHeads
+
+        out: Dict[str, Any] = {}
+        agent_mask = batch["agent_mask"]
+        b, l = agent_mask.shape
+
+        hm = self.lidar_range[4] - self.lidar_range[1]
+        wm = self.lidar_range[3] - self.lidar_range[0]
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], hm, wm, 1.0
+        ).astype(jnp.float32)
+
+        feature = None
+        for mname, margs in self.modality_args.items():
+            feat = self._branch(mname, margs, batch, train, out)
+            mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
+            contrib = feat * mmask
+            feature = contrib if feature is None else feature + contrib
+
+        if self.supervise_single:
+            flat = feature.reshape((b * l,) + feature.shape[2:])
+            cls_s, reg_s, dir_s = DetectionHeads(
+                self.anchor_number, self.dir_bins, name="heads_single"
+            )(flat)
+            out.update(
+                cls_preds_single=cls_s, reg_preds_single=reg_s,
+                dir_preds_single=dir_s,
+            )
+
+        fused = MsFusion.from_config(
+            self.fusion_backbone, fusion_method=self.fusion_method,
+            att_feat_dims=self.att_feat_dims, name="fusion_backbone",
+        )(feature, affine, agent_mask, train)
+
+        if self.shrink_args is not None:
+            fused = DownsampleConv.from_config(self.shrink_args)(fused)
+
+        cls_preds, reg_preds, dir_preds = DetectionHeads(
+            self.anchor_number, self.dir_bins, name="heads"
+        )(fused)
+        out.update(cls_preds=cls_preds, reg_preds=reg_preds,
+                   dir_preds=dir_preds)
+        return out
+
+
+def build_ms_model(hypes: dict) -> "HeterMsModel":
+    args = hypes["model"]["args"]
+    modality_args = {
+        k: v for k, v in args.items()
+        if k.startswith("m") and k[1:].isdigit()
+    }
+    for k, v in modality_args.items():
+        enc = dict(v["encoder_args"])
+        enc.setdefault("lidar_range", args["lidar_range"])
+        v["encoder_args"] = enc
+    return HeterMsModel(
+        modality_args=modality_args,
+        fusion_backbone=args["fusion_backbone"],
+        lidar_range=tuple(args["lidar_range"]),
+        shrink_args=args.get("shrink_header"),
+        anchor_number=args["anchor_number"],
+        dir_bins=args["dir_args"]["num_bins"],
+        fusion_method=args.get("fusion_method", "att"),
+        att_feat_dims=tuple(args.get("att", {}).get("feat_dim", ())),
+        supervise_single=bool(args.get("supervise_single", False)),
+    )
+
+
 def build_pyramid_model(hypes: dict) -> HeterPyramidModel:
     args = hypes["model"]["args"]
     core = hypes["model"]["core_method"].lower()

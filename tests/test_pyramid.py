@@ -138,3 +138,53 @@ def test_weighted_fuse_masks_invalid_agents():
     # no valid agents at all -> zeros, not NaN
     fused0 = weighted_fuse(feat, score, eye, jnp.zeros((b, l), bool))
     assert float(jnp.abs(fused0).max()) == 0.0
+
+
+def test_heter_ms_model_forward():
+    """heter_model_baseline_ms: per-modality branch -> MsFusion (per-level
+    att fusion over the fusion backbone) -> heads, with pre-fusion single
+    supervision (heter_model_baseline_ms.py:188-210)."""
+    from gencomm_tpu.models.heter_pyramid import HeterMsModel
+
+    scenes = SyntheticScenes(TINY)
+    host = scenes.sample(seed=5, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    model = HeterMsModel(
+        modality_args=PYR_MODALITY,
+        fusion_backbone={
+            "layer_nums": [1, 1],
+            "layer_strides": [1, 2],
+            "num_filters": [64, 96],
+            "upsample_strides": [1, 2],
+            "num_upsample_filter": [48, 48],
+        },
+        lidar_range=TINY.lidar_range,
+        shrink_args=None,
+        anchor_number=2,
+        fusion_method="att",
+        supervise_single=True,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    out = model.apply(variables, batch, train=False)
+    b, l = batch["agent_mask"].shape
+    assert out["cls_preds"].shape[0] == b
+    assert out["cls_preds"].shape[-1] == 2
+    assert out["reg_preds"].shape[-1] == 14
+    assert out["cls_preds_single"].shape[0] == b * l
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+    # padded agent slots must not leak into the fused output
+    pert = dict(batch)
+    pm = np.asarray(batch["points_m1"]).copy()
+    mask = np.asarray(batch["agent_mask"])
+    pad_slots = np.where(~mask[0])[0]
+    if pad_slots.size:
+        pm[0, pad_slots[0]] += 37.0
+        pert["points_m1"] = jnp.asarray(pm)
+        out2 = model.apply(variables, pert, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out["cls_preds"]), np.asarray(out2["cls_preds"]),
+            rtol=1e-5, atol=1e-5,
+        )
