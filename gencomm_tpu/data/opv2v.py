@@ -14,7 +14,16 @@ Supported robustness settings (SURVEY.md §5):
   pose noise    noise_setting -> utils/pose_utils (reference pose_utils.py:9)
   comm delay    time_delay frames: non-ego agents replay an earlier
                 timestamp's points/pose while GT stays current
-                (opv2v_basedataset.py:630-744, 'sim' mode, 100 ms frames)
+                (opv2v_basedataset.py:630-744, 'sim' AND 'real' modes,
+                100 ms frames; real adds uniform overhead + data_size /
+                transmission_speed + backbone terms)
+
+Camera modalities (sensor_type: camera in heter.modality_setting) load the
+real image ring per CAV — {ts}_imgs.hdf5 fast path or {ts}_camera{i}.png —
+with intrinsics/extrinsics from the yaml, LSS image augmentation and
+optional GT depth maps (see data/camera.py). label_type: camera filters GT
+to camera-visible objects via {ts}_bev_visibility.png
+(base_postprocessor.generate_visible_object_center:614).
 """
 
 from __future__ import annotations
@@ -109,12 +118,31 @@ class OPV2VDataset:
             core.startswith(c) for c in
             ("ciassd", "second", "fpvrcnn", "point_pillar_uncertainty")
         )
-        # comm delay in 100 ms frames (opv2v_basedataset.py:706-744 sim mode)
-        delay_ms = 0
-        wild = params.get("wild_setting", {})
-        if wild.get("async", False):
-            delay_ms = wild.get("async_overhead", 0)
-        self.delay_frames = int(delay_ms) // 100
+        # comm delay (opv2v_basedataset.py:706-744). Two sources of config:
+        # wild_setting (HEAL style) or noise_setting.async_args; two modes:
+        # 'sim' (fixed / random frames) and 'real' (uniform overhead +
+        # data-size/transmission-speed + backbone-compute terms, re-drawn
+        # per sample in _delay_frames).
+        wild = dict(params.get("wild_setting", {}))
+        ns = params.get("noise_setting") or {}
+        if ns.get("add_noise") and ns.get("add_async_noise"):
+            aa = ns.get("async_args", {})
+            wild = {
+                "async": True,
+                "async_mode": aa.get("async_mode", "sim"),
+                "async_overhead": aa.get("async_overhead", 0),
+                "async_method": aa.get("async_method", ""),
+                "backbone_delay": aa.get("backbone_delay", 0),
+                "data_size": aa.get("data_size", 0),
+                "transmission_speed": aa.get("transmission_speed", 27),
+            }
+        self.async_flag = bool(wild.get("async", False))
+        self.async_mode = wild.get("async_mode", "sim")
+        self.async_method = wild.get("async_method", "")
+        self.async_overhead = float(wild.get("async_overhead", 0))
+        self.backbone_delay = float(wild.get("backbone_delay", 0))
+        self.data_size = float(wild.get("data_size", 0))
+        self.transmission_speed = float(wild.get("transmission_speed", 27))
 
         # heterogeneity controller (modality assignment / mapping / lidar
         # channel switch; heter_utils.Adaptor parity)
@@ -124,12 +152,26 @@ class OPV2VDataset:
         self.model_modalities = (
             self.adaptor.model_modality_list if self.adaptor else ["m1"]
         )
+        hset = params.get("heter", {}).get("modality_setting", {})
         self.lidar_modalities = [
             m for m in self.model_modalities
-            if params.get("heter", {}).get("modality_setting", {}).get(
-                m, {"sensor_type": "lidar"}
-            ).get("sensor_type", "lidar") == "lidar"
-        ] or ["m1"]
+            if hset.get(m, {"sensor_type": "lidar"}).get(
+                "sensor_type", "lidar") == "lidar"
+        ]
+        # camera modalities: name -> data_aug_conf (drives image aug + the
+        # per-cam tensor shapes; intermediate_heter_fusion_dataset.py:494+)
+        self.camera_modalities = {
+            m: hset[m]["data_aug_conf"]
+            for m in self.model_modalities
+            if hset.get(m, {}).get("sensor_type") == "camera"
+        }
+        if not self.lidar_modalities and not self.camera_modalities:
+            self.lidar_modalities = ["m1"]
+        self.label_type = params.get("label_type", "lidar")
+        self.use_hdf5 = params.get("use_hdf5", True)
+        # GT depth maps for LSS depth supervision, gated like the
+        # reference's load_depth_file (opv2v_basedataset.py:63)
+        self.load_depth = "depth" in params.get("input_source", [])
 
         self.rng = np.random.RandomState(params.get("seed", 303))
         self.reinitialize()
@@ -171,6 +213,33 @@ class OPV2VDataset:
         return len(self.index_map)
 
     # ------------------------------------------------------------------
+    def _delay_frames(self) -> int:
+        """Per-CAV comm delay in 100 ms dataset frames.
+
+        Parity: opv2v_basedataset.time_delay_calculation:706-744 — 'real'
+        mode re-draws uniform(0, overhead) and adds transmission
+        (data_size/speed in ms) + backbone-compute terms; 'sim' mode is a
+        fixed overhead, or randint(0, overhead)+100 with async_method
+        'random'. Quantized to the 10 Hz frame grid.
+        """
+        if not self.async_flag:
+            return 0
+        if self.async_mode == "real":
+            overhead_noise = self.rng.uniform(0, self.async_overhead)
+            tc = self.data_size / self.transmission_speed * 1000.0
+            delay_ms = overhead_noise + tc + self.backbone_delay
+        else:  # 'sim'
+            if self.async_overhead > 0:
+                if self.async_method == "random":
+                    delay_ms = self.rng.randint(
+                        0, int(self.async_overhead)) + 100
+                else:
+                    delay_ms = self.async_overhead
+            else:
+                delay_ms = 0
+        return int(delay_ms) // 100
+
+    # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> dict:
         sc, timestamp = self.index_map[idx]
         db = self.scenario_database[sc]
@@ -186,12 +255,14 @@ class OPV2VDataset:
 
         agents, poses, vehicles_union = [], [], OrderedDict()
         agent_modalities = []
+        cam_slots = {m: {} for m in self.camera_modalities}  # m -> slot -> dict
         for ci, cav in enumerate(cav_list):
             entry = db[cav]
             ts = timestamp
-            if ci > 0 and self.delay_frames > 0:
+            delay_frames = self._delay_frames() if ci > 0 else 0
+            if delay_frames > 0:
                 tlist = entry["timestamps"]
-                ti = max(tlist.index(timestamp) - self.delay_frames, 0) \
+                ti = max(tlist.index(timestamp) - delay_frames, 0) \
                     if timestamp in tlist else 0
                 ts = tlist[ti]
             ypath = os.path.join(entry["path"], f"{ts}.yaml")
@@ -215,18 +286,31 @@ class OPV2VDataset:
                         modality = self.adaptor.ego_modality.split("&")[0]
                     else:
                         continue
-            pcd_path = os.path.join(entry["path"], f"{ts}.pcd")
-            if self.adaptor is not None:
-                switched = self.adaptor.switch_lidar_channels(
-                    modality, pcd_path
-                )
-                if os.path.exists(switched):
-                    pcd_path = switched
             agent_modalities.append(modality)
-            pts = pcd_utils.read_pcd(pcd_path)
-            pts = pcd_utils.mask_ego_points(pts)
-            if self.train:
-                pts = pcd_utils.shuffle_points(pts, self.rng)
+            if modality in self.camera_modalities:
+                # real image ring: {ts}_imgs.hdf5 fast path or per-cam pngs
+                # (opv2v_basedataset.py:360-378); aug + extrinsics in
+                # data/camera.py
+                from gencomm_tpu.data.camera import load_cav_cameras
+
+                cam_slots[modality][len(agents)] = load_cav_cameras(
+                    entry["path"], ts, cyaml,
+                    self.camera_modalities[modality], self.train, self.rng,
+                    load_depth=self.load_depth, use_hdf5=self.use_hdf5,
+                )
+                pts = np.zeros((0, 4), np.float32)
+            else:
+                pcd_path = os.path.join(entry["path"], f"{ts}.pcd")
+                if self.adaptor is not None:
+                    switched = self.adaptor.switch_lidar_channels(
+                        modality, pcd_path
+                    )
+                    if os.path.exists(switched):
+                        pcd_path = switched
+                pts = pcd_utils.read_pcd(pcd_path)
+                pts = pcd_utils.mask_ego_points(pts)
+                if self.train:
+                    pts = pcd_utils.shuffle_points(pts, self.rng)
             agents.append(pts)
             poses.append(pose)
             # GT union by object id across agents — current-frame yaml for
@@ -259,6 +343,35 @@ class OPV2VDataset:
         agent_mask = np.zeros(L, bool)
         agent_mask[:na] = True
 
+        if self.label_type == "camera":
+            # camera-visible GT: drop objects whose center raster cell in
+            # the ego's bev_visibility.png is dark (base_postprocessor.
+            # generate_visible_object_center:614-690 — 1st pass filters by
+            # visibility in the ego-clean frame, 2nd by range; ego IS the
+            # reference frame here so the passes collapse)
+            vis_path = os.path.join(
+                ego_path, f"{timestamp}_bev_visibility.png")
+            if os.path.exists(vis_path):
+                from PIL import Image
+
+                from gencomm_tpu.utils.camera_utils import box_is_visible
+
+                vis_map = np.asarray(
+                    Image.open(vis_path).convert("L"))
+                n_all = max(len(vehicles_union), 1)
+                boxes_all, mask_all, ids_all = project_world_objects(
+                    vehicles_union, ego_pose,
+                    [-1e5, -1e5, -1e5, 1e5, 1e5, 1e5], n_all,
+                )
+                visible_ids = {
+                    oid for i, oid in enumerate(ids_all)
+                    if box_is_visible(boxes_all[i, 0], boxes_all[i, 1],
+                                      vis_map)
+                }
+                vehicles_union = OrderedDict(
+                    (k, v) for k, v in vehicles_union.items()
+                    if k in visible_ids
+                )
         gt_boxes, gt_mask, _ = project_world_objects(
             vehicles_union, ego_pose, self.lidar_range, self.max_num
         )
@@ -306,9 +419,38 @@ class OPV2VDataset:
             sample[f"points_{m}"] = points
             sample[f"point_mask_{m}"] = point_mask
             sample[f"modality_mask_{m}"] = mmask
+        # camera modalities: padded (L, ncam, ...) arrays in the model's
+        # image_inputs contract (synthetic.py emits the same keys)
+        for m, conf in self.camera_modalities.items():
+            ncam = int(conf.get("Ncams", 4))
+            fH, fW = conf["final_dim"]
+            arrs = {
+                "imgs": np.zeros((L, ncam, fH, fW, 3), np.float32),
+                "rots": np.tile(np.eye(3, dtype=np.float32),
+                                (L, ncam, 1, 1)),
+                "trans": np.zeros((L, ncam, 3), np.float32),
+                "intrins": np.tile(np.eye(3, dtype=np.float32),
+                                   (L, ncam, 1, 1)),
+                "post_rots": np.tile(np.eye(3, dtype=np.float32),
+                                     (L, ncam, 1, 1)),
+                "post_trans": np.zeros((L, ncam, 3), np.float32),
+            }
+            if self.load_depth:
+                arrs["depths"] = np.zeros((L, ncam, fH, fW), np.float32)
+            mmask = np.zeros(L, bool)
+            for slot, cam in cam_slots[m].items():
+                mmask[slot] = True
+                for k in ("imgs", "rots", "trans", "intrins", "post_rots",
+                          "post_trans"):
+                    arrs[k][slot] = cam[k]
+                if self.load_depth and "depths" in cam:
+                    arrs["depths"][slot] = cam["depths"]
+            for k, v in arrs.items():
+                sample[f"{k}_{m}"] = v
+            sample[f"modality_mask_{m}"] = mmask
         if not any(agent_modalities):
             sample["modality_mask_m1"] = agent_mask.copy()
-        if self.adaptor is None:
+        if self.adaptor is None and "modality_mask_m1" not in sample:
             sample["modality_mask_m1"] = agent_mask.copy()
         return sample
 

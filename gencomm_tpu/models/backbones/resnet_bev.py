@@ -6,8 +6,12 @@ Parity targets:
   Bottleneck — HEAL's pyramid uses Bottleneck with expansion=1, groups=32,
   width_per_group=4, i.e. a ResNeXt-32x4d stage per level).
 
-NHWC layout; BatchNorm follows the repo convention (eps 1e-3, flax
-momentum 0.99). Exposes the encode/decode multiscale split that HEAL
+NHWC layout. BatchNorm eps: the residual blocks use torch's default
+eps=1e-5 (resblock.py builds plain ``nn.BatchNorm2d(planes)``), while the
+deconv decode heads keep the OpenPCDet convention eps=1e-3
+(base_bev_backbone_resnet.py:60-82) — the reference mixes both and weight
+transplants only match if we mirror that split. Exposes the encode/decode
+multiscale split that HEAL
 PyramidFusion fuses between (get_multiscale_feature /
 decode_multiscale_feature, base_bev_backbone_resnet.py:112-135).
 """
@@ -31,7 +35,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = lambda: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            use_running_average=not train, momentum=0.99, epsilon=1e-5
         )
         identity = x
         # explicit pad-1: torch semantics on even grids at stride 2
@@ -61,7 +65,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = lambda: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            use_running_average=not train, momentum=0.99, epsilon=1e-5
         )
         width = int(self.features * (self.width_per_group * self.groups / 64.0))
         identity = x

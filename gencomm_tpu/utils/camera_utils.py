@@ -50,39 +50,40 @@ def bin_depths_np(depth_map, mode, depth_min, depth_max, num_bins):
     return idx.astype(np.int64), mask
 
 
+def box_is_visible(x: float, y: float, visibility_map: "np.ndarray",
+                   meters_per_pixel: float = 0.39) -> bool:
+    """One ego-frame box center against the BEV visibility raster.
+
+    Raster convention (box_utils.box_is_visible:1512-1542): 256x256,
+    0.39 m/px, ego at (127, 127), +x (forward) maps to -row, +y to +col.
+    Out-of-raster centers count as invisible.
+    """
+    h, w = visibility_map.shape[:2]
+    py = h // 2 - 1 - int(x / meters_per_pixel)
+    px = w // 2 - 1 + int(y / meters_per_pixel)
+    if py < 0 or py >= h or px < 0 or px >= w:
+        return False
+    return bool(visibility_map[py, px] > 0)
+
+
 def filter_visible_objects(boxes7: "np.ndarray", mask: "np.ndarray",
                            visibility_map: "np.ndarray",
-                           pixels_per_meter: float = 1.0 / 0.39,
-                           min_visible_pixels: int = 2):
-    """Keep only GT boxes whose BEV footprint overlaps the camera
-    visibility raster.
+                           meters_per_pixel: float = 0.39):
+    """Keep only GT boxes whose center raster cell is camera-visible.
 
     Parity: base_postprocessor.generate_visible_object_center:614-690 +
     box_utils.project_world_visible_objects — the reference reads the
-    dataset's ``bev_visibility.png`` (256x256, 0.39 m/px, ego-centered,
-    heading up) and drops objects whose raster cells are all invisible.
+    dataset's ``bev_visibility.png`` (grayscale; nonzero = visible) and
+    drops objects whose center pixel is invisible.
 
-    boxes7: (N, 7) ego-frame hwl boxes; mask: (N,); visibility_map: (H, W)
-    grayscale (nonzero = visible). Returns an updated copy of ``mask``.
+    boxes7: (N, 7) ego-frame boxes; mask: (N,). Returns an updated copy of
+    ``mask``.
     """
-    import numpy as np
-
-    h, w = visibility_map.shape[:2]
-    cx, cy = w / 2.0, h / 2.0
     out = mask.copy()
     for i in range(len(boxes7)):
         if not out[i]:
             continue
-        x, y = boxes7[i, 0], boxes7[i, 1]
-        # object center + a 3x3 neighborhood in raster coords
-        px = int(round(cx + x * pixels_per_meter))
-        py = int(round(cy - y * pixels_per_meter))
-        if not (0 <= px < w and 0 <= py < h):
-            out[i] = 0
-            continue
-        x0, x1 = max(px - 1, 0), min(px + 2, w)
-        y0, y1 = max(py - 1, 0), min(py + 2, h)
-        visible = (visibility_map[y0:y1, x0:x1] > 0).sum()
-        if visible < min_visible_pixels:
+        if not box_is_visible(boxes7[i, 0], boxes7[i, 1], visibility_map,
+                              meters_per_pixel):
             out[i] = 0
     return out
