@@ -4,7 +4,15 @@ Parity: opencood/data_utils/augmentor/data_augmentor.py:15-60 +
 augment_utils.py — a queue of random_world_flip (y axis),
 random_world_rotation (yaw in WORLD_ROT_ANGLE), random_world_scaling;
 applied to points and GT boxes together. The reference enables these for
-early/late fusion only (opv2v_basedataset.py:42-45).
+early/late fusion only (opv2v_basedataset.py:42-45): late fusion augments
+each CAV's own cloud + own-frame GT (late_fusion_dataset.py:167), early
+fusion augments the merged ego-frame stack + ego GT
+(early_fusion_dataset.py:105).
+
+Each primitive also returns its 4x4 point transform so callers that keep
+points in per-agent local frames (the padded early-fusion path) can fold
+the augmentation into the agent->ego pairwise matrices instead of touching
+the point buffers.
 """
 
 from __future__ import annotations
@@ -14,13 +22,15 @@ import numpy as np
 
 def random_world_flip(points, boxes, rng, prob: float = 0.5):
     """Flip along x (y -> -y); boxes (K, 7) [x y z dims yaw]."""
+    A = np.eye(4)
     if rng.rand() < prob:
         points = points.copy()
         boxes = boxes.copy()
         points[:, 1] = -points[:, 1]
         boxes[:, 1] = -boxes[:, 1]
         boxes[:, 6] = -boxes[:, 6]
-    return points, boxes
+        A[1, 1] = -1.0
+    return points, boxes, A
 
 
 def random_world_rotation(points, boxes, rng,
@@ -33,7 +43,9 @@ def random_world_rotation(points, boxes, rng,
     points[:, :2] = points[:, :2] @ rot.T
     boxes[:, :2] = boxes[:, :2] @ rot.T
     boxes[:, 6] += angle
-    return points, boxes
+    A = np.eye(4)
+    A[:2, :2] = rot
+    return points, boxes, A
 
 
 def random_world_scaling(points, boxes, rng, scale_range=(0.95, 1.05)):
@@ -42,7 +54,8 @@ def random_world_scaling(points, boxes, rng, scale_range=(0.95, 1.05)):
     boxes = boxes.copy()
     points[:, :3] *= s
     boxes[:, :6] *= s
-    return points, boxes
+    A = np.diag([s, s, s, 1.0])
+    return points, boxes, A
 
 
 class DataAugmentor:
@@ -72,15 +85,24 @@ class DataAugmentor:
                 )
             self.queue.append((fn, kwargs))
 
-    def __call__(self, points: np.ndarray, boxes: np.ndarray):
-        """points (P, >=3), boxes (K, 7) — returns augmented copies."""
+    def transform(self, points: np.ndarray, boxes: np.ndarray):
+        """points (P, >=3), boxes (K, 7) — returns (points', boxes', A)
+        where A is the accumulated 4x4 point transform (identity when
+        eval or the queue is empty)."""
+        A = np.eye(4)
         if not self.train:
-            return points, boxes
+            return points, boxes, A
         for fn, kwargs in self.queue:
             mapped = {}
             if "world_rot_angle" in kwargs:
                 mapped["rot_range"] = kwargs["world_rot_angle"]
             if "world_scale_range" in kwargs:
                 mapped["scale_range"] = kwargs["world_scale_range"]
-            points, boxes = fn(points, boxes, self.rng, **mapped)
+            points, boxes, Ai = fn(points, boxes, self.rng, **mapped)
+            A = Ai @ A
+        return points, boxes, A
+
+    def __call__(self, points: np.ndarray, boxes: np.ndarray):
+        """points (P, >=3), boxes (K, 7) — returns augmented copies."""
+        points, boxes, _ = self.transform(points, boxes)
         return points, boxes

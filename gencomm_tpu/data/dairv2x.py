@@ -9,10 +9,24 @@ the paired infrastructure frame, calib files and cooperative labels.
               (vehicle) lidar frame (box_utils.project_world_objects_dairv2x
               :1340-1388)
 
-Emits the same padded batch format as OPV2VDataset (2 agents: slot 0 =
-vehicle = ego; slot 1 = infrastructure). In hetero mode the reference
-assigns veh=m1 / inf=m2 with a random ego swap at train
-(dairv2x_basedataset.py:164-192).
+Emits the same padded batch format as OPV2VDataset (2 agents; slot 0 = ego).
+
+Heterogeneous mode (dairv2x_basedataset.py:164-192):
+  - veh = m1, inf = m2 by default, reassigned via the Adaptor mapping_dict;
+  - train: the ego slot is randomly swapped to the RSU with p=0.5;
+  - eval: the agent whose mapped modality is the ego modality sits first;
+  - GT comes from each side's own single labels transformed into the ego
+    frame and merged by polygon IoU (load_single_objects_dairv2x_hetero
+    box_utils.py:1451+, intermediate_heter_fusion_dataset.py:294-323,
+    iou_thresh 0.05) — cooperative labels have no per-side ids;
+  - per-agent single labels feed supervise_single.
+
+Camera modalities load each side's single jpg with the DAIR calib chain
+(lidar_to_camera extrinsic inverted to camera->lidar, cam_K intrinsics —
+dairv2x_basedataset.py:135-148) through the LSS augmentation pipeline.
+
+Late fusion on DAIR merges veh+inf GT by IoU exactly like hetero mode
+(base_postprocessor.generate_gt_bbx_by_iou:112-202).
 """
 
 from __future__ import annotations
@@ -24,12 +38,17 @@ from collections import OrderedDict
 import numpy as np
 
 from gencomm_tpu.utils import box_utils, pcd_utils
+from gencomm_tpu.utils.eval_utils import polygon_iou
 from gencomm_tpu.utils.pose_utils import add_noise_to_poses
 from gencomm_tpu.utils.transformation_utils import (
-    get_pairwise_transformation, x_to_world,
+    get_pairwise_transformation, x_to_world, x1_to_x2,
 )
 from gencomm_tpu.data.postprocessor import generate_anchor_box, generate_label
 from gencomm_tpu.registry import DATASETS
+
+# single-side labels keep only these categories
+# (box_utils.load_single_objects_dairv2x:1442-1445)
+_KEEP_TYPES = ("Car", "Van", "Truck", "Bus")
 
 
 def read_json(path):
@@ -61,6 +80,20 @@ def inf_side_pose_tfm(virtuallidar_to_world: dict, offset: dict):
     t[1] += offset.get("delta_y", 0.0)
     m[:3, 3] = t
     return m
+
+
+def rot_trans_tfm(calib: dict) -> np.ndarray:
+    """{rotation, translation} json -> 4x4
+    (transformation_utils.rot_and_trans_to_trasnformation_matrix:482-489)."""
+    m = np.eye(4)
+    m[:3, :3] = np.array(calib["rotation"])
+    m[:3, 3] = np.array(calib["translation"], np.float64).reshape(3)
+    return m
+
+
+def load_intrinsic(int_dict: dict) -> np.ndarray:
+    """cam_K 9-vector -> 3x3 (camera_utils.load_intrinsic_DAIR_V2X:333)."""
+    return np.array(int_dict["cam_K"], np.float32).reshape(3, 3)
 
 
 def tfm_to_pose(tfm: np.ndarray):
@@ -102,6 +135,69 @@ def project_cooperative_labels(object_list, lidar_pose, lidar_range,
     return boxes, mask
 
 
+def parse_single_objects(object_list, lidar_range, order: str = "hwl",
+                         trans_mat: np.ndarray | None = None) -> np.ndarray:
+    """Single-side label json -> (N, 7) boxes, optionally transformed into
+    the ego frame.
+
+    Behavior parity: box_utils.load_single_objects_dairv2x:1390-1449 and
+    the _hetero variant :1451+ — keep Car/Van/Truck/Bus with nonzero dims,
+    tolerate string coordinates (camera labels), require all 8 corners
+    inside the z-enlarged lidar range AFTER the optional transform.
+    """
+    kept = []
+    rng_z = list(lidar_range)
+    rng_z[2] -= 1.0
+    rng_z[5] += 1.0
+    lo = np.asarray(rng_z[:3])
+    hi = np.asarray(rng_z[3:])
+    for obj in object_list:
+        if obj.get("type") not in _KEEP_TYPES:
+            continue
+        loc, dim = obj["3d_location"], obj["3d_dimensions"]
+        x, y, z = (float(loc["x"]), float(loc["y"]), float(loc["z"]))
+        l, h, w = float(dim["l"]), float(dim["h"]), float(dim["w"])
+        if l == 0 or h == 0 or w == 0:
+            continue
+        rot = float(obj["rotation"])
+        if order == "hwl":
+            box7 = np.array([[x, y, z, h, w, l, rot]], np.float64)
+        else:
+            box7 = np.array([[x, y, z, l, w, h, rot]], np.float64)
+        corners = box_utils.boxes_to_corners_3d(box7, order)
+        if trans_mat is not None:
+            corners = box_utils.project_box3d(corners, trans_mat)
+            box7 = box_utils.corner_to_center(corners, order=order)
+        inside = ((corners[0] >= lo) & (corners[0] <= hi)).all(axis=1).all()
+        if inside:
+            kept.append(box7[0])
+    return (np.stack(kept) if kept
+            else np.zeros((0, 7), np.float64)).astype(np.float32)
+
+
+def merge_boxes_by_iou(ego_boxes: np.ndarray, cav_boxes: np.ndarray,
+                       order: str = "hwl",
+                       iou_thresh: float = 0.05) -> np.ndarray:
+    """Union of ego boxes + cav boxes that overlap no ego box — the DAIR
+    label merge (generate_gt_bbx_by_iou base_postprocessor.py:170-186,
+    intermediate_heter_fusion_dataset.py:294-323)."""
+    if len(ego_boxes) == 0:
+        return cav_boxes
+    if len(cav_boxes) == 0:
+        return ego_boxes
+    ego_quads = box_utils.boxes_to_corners_3d(
+        ego_boxes.astype(np.float64), order)[:, :4, :2]
+    cav_quads = box_utils.boxes_to_corners_3d(
+        cav_boxes.astype(np.float64), order)[:, :4, :2]
+    fresh = [
+        cav_boxes[i] for i in range(len(cav_boxes))
+        if not (polygon_iou(cav_quads[i], ego_quads) > iou_thresh).any()
+    ]
+    if not fresh:
+        return ego_boxes
+    return np.vstack([ego_boxes, np.stack(fresh)]).astype(np.float32)
+
+
 @DATASETS.register("dairv2x")
 class DAIRV2XDataset:
     """Vehicle+infrastructure cooperative detection dataset."""
@@ -116,16 +212,41 @@ class DAIRV2XDataset:
         self.split_info = read_json(split)
         self.max_cav = 2
         self.max_num = params["postprocess"]["max_num"]
+        self.order = params["postprocess"].get("order", "hwl")
         self.lidar_range = params["preprocess"]["cav_lidar_range"]
         self.anchors = generate_anchor_box(
-            params["postprocess"]["anchor_args"],
-            params["postprocess"].get("order", "hwl"),
+            params["postprocess"]["anchor_args"], self.order,
         )
         self.pos_threshold = params["postprocess"]["target_args"]["pos_threshold"]
         self.neg_threshold = params["postprocess"]["target_args"]["neg_threshold"]
         self.noise_setting = params.get("noise_setting")
         self.heter = params.get("heter") is not None
+        self.label_type = params.get("label_type", "lidar")
+        self.late_fusion = (
+            params.get("fusion", {}).get("core_method", "")
+            .lower().startswith("late")
+        )
+        margs = params.get("model", {}).get("args", {})
+        self.per_agent_labels = self.heter or bool(
+            margs.get("supervise_single"))
         self.rng = np.random.RandomState(params.get("seed", 303))
+
+        from gencomm_tpu.utils.heter_utils import Adaptor
+
+        self.adaptor = Adaptor.from_hypes(params, train)
+        hset = params.get("heter", {}).get("modality_setting", {})
+        self.model_modalities = (
+            self.adaptor.model_modality_list if self.adaptor else ["m1"]
+        )
+        self.camera_modalities = {
+            m: hset[m]["data_aug_conf"]
+            for m in self.model_modalities
+            if hset.get(m, {}).get("sensor_type") == "camera"
+            and "data_aug_conf" in hset[m]
+        }
+        self.lidar_modalities = [
+            m for m in self.model_modalities if m not in self.camera_modalities
+        ]
 
         co = read_json(os.path.join(self.root_dir, "cooperative/data_info.json"))
         self.co_data = OrderedDict()
@@ -140,6 +261,65 @@ class DAIRV2XDataset:
     def __len__(self):
         return len(self.split_info)
 
+    # ------------------------------------------------------------------
+    def _single_labels(self, side: str, frame_id: str) -> list:
+        """One side's single-label object list, [] when the file is absent.
+        label_type camera uses the front-only backup labels
+        (dairv2x_basedataset.py:155-162, generate_object_center_single)."""
+        if side == "veh":
+            sub = ("vehicle-side/label/lidar_backup"
+                   if self.label_type == "camera"
+                   else "vehicle-side/label/lidar")
+        else:
+            sub = "infrastructure-side/label/virtuallidar"
+        path = os.path.join(self.root_dir, sub, f"{frame_id}.json")
+        if not os.path.exists(path):
+            return []
+        return read_json(path)
+
+    def _load_camera(self, side: str, frame_id: str, fi: dict,
+                     data_aug_conf: dict):
+        """One side's single camera -> the per-CAV camera dict (jpg +
+        lidar_to_camera/camera_intrinsic calib, dairv2x_basedataset.py:
+        135-148), through the LSS augmentation chain."""
+        from PIL import Image
+
+        from gencomm_tpu.data.camera import (
+            img_transform, normalize_rgb, sample_augmentation,
+        )
+
+        if side == "veh":
+            img_path = fi["vehicle_image_path"]
+            ext_path = f"vehicle-side/calib/lidar_to_camera/{frame_id}.json"
+            int_path = f"vehicle-side/calib/camera_intrinsic/{frame_id}.json"
+        else:
+            img_path = fi["infrastructure_image_path"]
+            ext_path = ("infrastructure-side/calib/virtuallidar_to_camera/"
+                        f"{frame_id}.json")
+            int_path = ("infrastructure-side/calib/camera_intrinsic/"
+                        f"{frame_id}.json")
+        img = Image.open(os.path.join(self.root_dir, img_path)).convert("RGB")
+        lidar_to_camera = rot_trans_tfm(
+            read_json(os.path.join(self.root_dir, ext_path)))
+        cam_to_lidar = np.linalg.inv(lidar_to_camera).astype(np.float32)
+        intrin = load_intrinsic(
+            read_json(os.path.join(self.root_dir, int_path)))
+        aug = sample_augmentation(data_aug_conf, self.train, self.rng)
+        img, _, post_rot2, post_tran2 = img_transform(img, None, *aug)
+        fH, fW = data_aug_conf["final_dim"]
+        out = {
+            "imgs": normalize_rgb(img)[None],
+            "rots": cam_to_lidar[None, :3, :3],
+            "trans": cam_to_lidar[None, :3, 3],
+            "intrins": intrin[None],
+            "post_rots": np.tile(np.eye(3, dtype=np.float32), (1, 1, 1)),
+            "post_trans": np.zeros((1, 3), np.float32),
+        }
+        out["post_rots"][0, :2, :2] = post_rot2
+        out["post_trans"][0, :2] = post_tran2
+        return out
+
+    # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> dict:
         vid = self.split_info[idx]
         fi = self.co_data[vid]
@@ -163,31 +343,95 @@ class DAIRV2XDataset:
             )),
             fi.get("system_error_offset", {}),
         )
-        poses = np.stack([tfm_to_pose(veh_tfm), tfm_to_pose(inf_tfm)])
+
+        # agent records in [veh, inf] base order; modalities m1/m2 by
+        # default then reassigned by the Adaptor mapping
+        agents = [
+            {"side": "veh", "frame_id": vid, "pose": tfm_to_pose(veh_tfm),
+             "modality": "m1"},
+            {"side": "inf", "frame_id": inf_id, "pose": tfm_to_pose(inf_tfm),
+             "modality": "m2"},
+        ]
+        if self.heter:
+            # train: random ego swap; eval: ego-modality agent first
+            # (dairv2x_basedataset.py:176-192)
+            if self.train:
+                if self.rng.rand() > 0.5:
+                    agents = agents[::-1]
+            elif self.adaptor is not None:
+                md = self.adaptor.mapping_dict
+                ego_mod = self.adaptor.ego_modality
+                if (md.get(agents[0]["modality"], agents[0]["modality"])
+                        not in ego_mod
+                        and md.get(agents[1]["modality"],
+                                   agents[1]["modality"]) in ego_mod):
+                    agents = agents[::-1]
+            if self.adaptor is not None:
+                for i, a in enumerate(agents):
+                    a["modality"] = self.adaptor.reassign_cav_modality(
+                        a["modality"], i)
+
+        poses = np.stack([a["pose"] for a in agents])
         noisy = add_noise_to_poses(poses, self.noise_setting, self.rng)
 
-        veh_pts = pcd_utils.read_pcd(os.path.join(
-            self.root_dir, fi["vehicle_pointcloud_path"]
-        ))
-        inf_pts = pcd_utils.read_pcd(os.path.join(
-            self.root_dir, fi["infrastructure_pointcloud_path"]
-        ))
+        pcd_paths = {"veh": fi["vehicle_pointcloud_path"],
+                     "inf": fi["infrastructure_pointcloud_path"]}
         points = np.zeros((L, P, 4), np.float32)
         point_mask = np.zeros((L, P), bool)
-        for i, pts in enumerate((veh_pts, inf_pts)):
+        cam_slots = {m: {} for m in self.camera_modalities}
+        for i, a in enumerate(agents):
+            if a["modality"] in self.camera_modalities:
+                cam_slots[a["modality"]][i] = self._load_camera(
+                    a["side"], a["frame_id"], fi,
+                    self.camera_modalities[a["modality"]],
+                )
+                continue
+            pts = pcd_utils.read_pcd(os.path.join(
+                self.root_dir, pcd_paths[a["side"]]))
+            if self.train:
+                pts = pcd_utils.shuffle_points(pts, self.rng)
             k = min(len(pts), P)
             points[i, :k] = pts[:k]
             point_mask[i, :k] = True
 
-        pairwise = get_pairwise_transformation(noisy, L, 2).astype(np.float32)
+        pairwise = get_pairwise_transformation(noisy, L, len(agents)).astype(
+            np.float32
+        )
         agent_mask = np.ones(L, bool)
 
-        labels = read_json(os.path.join(
-            self.root_dir, fi["cooperative_label_path"]
-        ))
-        gt_boxes, gt_mask = project_cooperative_labels(
-            labels, poses[0], self.lidar_range, self.max_num
-        )
+        # ---- ground truth ------------------------------------------------
+        ego_pose = poses[0]
+        use_single = self.heter or self.late_fusion
+        single_lists = None
+        if use_single:
+            single_lists = [
+                self._single_labels(a["side"], a["frame_id"]) for a in agents
+            ]
+            if not any(single_lists):
+                use_single = False  # fixture/dataset without single labels
+        if use_single:
+            # per-agent single labels -> ego frame -> IoU merge
+            per_agent_boxes = []
+            for i, a in enumerate(agents):
+                trans = None if i == 0 else x1_to_x2(
+                    list(poses[i]), list(ego_pose))
+                per_agent_boxes.append(parse_single_objects(
+                    single_lists[i], self.lidar_range, self.order, trans))
+            merged = merge_boxes_by_iou(
+                per_agent_boxes[0], per_agent_boxes[1], self.order)
+            gt_boxes = np.zeros((self.max_num, 7), np.float32)
+            gt_mask = np.zeros(self.max_num, np.float32)
+            n = min(len(merged), self.max_num)
+            gt_boxes[:n] = merged[:n]
+            gt_mask[:n] = 1.0
+        else:
+            labels = read_json(os.path.join(
+                self.root_dir, fi["cooperative_label_path"]
+            ))
+            gt_boxes, gt_mask = project_cooperative_labels(
+                labels, ego_pose, self.lidar_range, self.max_num, self.order
+            )
+
         label = generate_label(
             gt_boxes, gt_mask, self.anchors, self.pos_threshold,
             self.neg_threshold,
@@ -195,25 +439,70 @@ class DAIRV2XDataset:
         sample = {
             "agent_mask": agent_mask,
             "pairwise_t_matrix": pairwise,
-            "points_m1": points,
-            "point_mask_m1": point_mask,
-            "modality_mask_m1": agent_mask.copy(),
             "pos_equal_one": label["pos_equal_one"],
             "neg_equal_one": label["neg_equal_one"],
             "targets": label["targets"],
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
-        if self.heter:
-            # veh = m1, inf = m2 (dairv2x_basedataset.py:164-192)
-            m1 = np.zeros(L, bool)
-            m1[0] = True
-            m2 = np.zeros(L, bool)
-            m2[1] = True
-            sample["modality_mask_m1"] = m1
-            sample["points_m2"] = points
-            sample["point_mask_m2"] = point_mask
-            sample["modality_mask_m2"] = m2
+
+        if self.per_agent_labels and single_lists is not None:
+            # per-agent anchor labels in each agent's own frame
+            # (single_label_dict, intermediate_heter_fusion_dataset.py:273+)
+            ps = np.zeros((L,) + label["pos_equal_one"].shape, np.float32)
+            ns = np.zeros_like(ps)
+            ts_ = np.zeros((L,) + label["targets"].shape, np.float32)
+            for i, a in enumerate(agents):
+                own = parse_single_objects(
+                    single_lists[i], self.lidar_range, self.order)
+                gtb_i = np.zeros((self.max_num, 7), np.float32)
+                gtm_i = np.zeros(self.max_num, np.float32)
+                n = min(len(own), self.max_num)
+                gtb_i[:n] = own[:n]
+                gtm_i[:n] = 1.0
+                lab_i = generate_label(
+                    gtb_i, gtm_i, self.anchors, self.pos_threshold,
+                    self.neg_threshold,
+                )
+                ps[i] = lab_i["pos_equal_one"]
+                ns[i] = lab_i["neg_equal_one"]
+                ts_[i] = lab_i["targets"]
+            sample["pos_equal_one_single"] = ps
+            sample["neg_equal_one_single"] = ns
+            sample["targets_single"] = ts_
+
+        # per-modality masks + shared buffers (same contract as OPV2V)
+        modalities = [a["modality"] for a in agents]
+        for m in self.lidar_modalities:
+            mmask = np.zeros(L, bool)
+            for i, am in enumerate(modalities):
+                mmask[i] = am == m and m not in self.camera_modalities
+            sample[f"points_{m}"] = points
+            sample[f"point_mask_{m}"] = point_mask
+            sample[f"modality_mask_{m}"] = mmask
+        for m, conf in self.camera_modalities.items():
+            ncam = int(conf.get("Ncams", 1))
+            fH, fW = conf["final_dim"]
+            arrs = {
+                "imgs": np.zeros((L, ncam, fH, fW, 3), np.float32),
+                "rots": np.tile(np.eye(3, dtype=np.float32), (L, ncam, 1, 1)),
+                "trans": np.zeros((L, ncam, 3), np.float32),
+                "intrins": np.tile(np.eye(3, dtype=np.float32),
+                                   (L, ncam, 1, 1)),
+                "post_rots": np.tile(np.eye(3, dtype=np.float32),
+                                     (L, ncam, 1, 1)),
+                "post_trans": np.zeros((L, ncam, 3), np.float32),
+            }
+            mmask = np.zeros(L, bool)
+            for slot, cam in cam_slots[m].items():
+                mmask[slot] = True
+                for k in arrs:
+                    arrs[k][slot, :1] = cam[k]
+            for k, v in arrs.items():
+                sample[f"{k}_{m}"] = v
+            sample[f"modality_mask_{m}"] = mmask
+        if not self.heter:
+            sample["modality_mask_m1"] = agent_mask.copy()
         return sample
 
     def collate(self, samples) -> dict:

@@ -174,7 +174,62 @@ class OPV2VDataset:
         self.load_depth = "depth" in params.get("input_source", [])
 
         self.rng = np.random.RandomState(params.get("seed", 303))
+        # world-level augmentation — present only in early/late configs
+        # (opv2v_basedataset.py:42-45; applied late_fusion_dataset.py:167 /
+        # early_fusion_dataset.py:105)
+        self.fusion_mode = params.get("fusion", {}).get(
+            "core_method", "").lower()
+        self.augmentor = None
+        if "data_augment" in params:
+            from gencomm_tpu.data.augmentor import DataAugmentor
+
+            self.augmentor = DataAugmentor(
+                params["data_augment"], train, params.get("seed", 303))
         self.reinitialize()
+
+    # ------------------------------------------------------------------
+    # subclass hooks (V2X-Real overrides these; see data/v2xreal.py)
+    def _keep_scenario(self, scenario_name: str) -> bool:
+        return True
+
+    def _order_cavs(self, cavs: list) -> list:
+        """CAV ordering inside one scenario; train shuffles
+        (opv2v_basedataset.py:170-176)."""
+        if self.train:
+            return list(self.rng.permutation(cavs))
+        return cavs
+
+    def _filter_vehicles(self, vehicles: dict) -> dict:
+        """Per-yaml GT object filter (identity for OPV2V; V2X-Real maps
+        class names to super-class ids and drops unknown classes)."""
+        return vehicles
+
+    def _read_lidar(self, entry: dict, ts: str, modality: str) -> np.ndarray:
+        """One CAV's point cloud (OPV2V: .pcd with ego-return masking and
+        the Adaptor's 32/16-channel swap)."""
+        pcd_path = os.path.join(entry["path"], f"{ts}.pcd")
+        if self.adaptor is not None:
+            switched = self.adaptor.switch_lidar_channels(modality, pcd_path)
+            if os.path.exists(switched):
+                pcd_path = switched
+        pts = pcd_utils.read_pcd(pcd_path)
+        pts = pcd_utils.mask_ego_points(pts)
+        if self.train:
+            pts = pcd_utils.shuffle_points(pts, self.rng)
+        return pts
+
+    def _labels_for(self, gt_boxes, gt_mask, gt_ids, vehicles_union) -> dict:
+        """GT -> anchor training targets (+ any extra GT keys). V2X-Real
+        overrides with per-class anchors/labels."""
+        label = generate_label(
+            gt_boxes, gt_mask, self.anchors, self.pos_threshold,
+            self.neg_threshold,
+        )
+        return {
+            "pos_equal_one": label["pos_equal_one"],
+            "neg_equal_one": label["neg_equal_one"],
+            "targets": label["targets"],
+        }
 
     # ------------------------------------------------------------------
     def reinitialize(self):
@@ -187,20 +242,24 @@ class OPV2VDataset:
             if os.path.isdir(os.path.join(self.root, d))
         )
         for sc in scenarios:
+            if not self._keep_scenario(sc):
+                continue
             sc_path = os.path.join(self.root, sc)
             cavs = sorted(
                 d for d in os.listdir(sc_path)
                 if os.path.isdir(os.path.join(sc_path, d))
             )
-            if self.train:
-                cavs = list(self.rng.permutation(cavs))
+            cavs = self._order_cavs(cavs)
+            if not cavs:
+                continue
             cavs = cavs[: self.max_cav]
             db = OrderedDict()
             timestamps = None
             for cav in cavs:
                 cav_path = os.path.join(sc_path, cav)
                 ts = sorted(
-                    f[:-5] for f in os.listdir(cav_path) if f.endswith(".yaml")
+                    f[:-5] for f in os.listdir(cav_path)
+                    if f.endswith(".yaml") and "additional" not in f
                 )
                 db[cav] = {"path": cav_path, "timestamps": ts}
                 if timestamps is None or len(ts) < len(timestamps):
@@ -300,17 +359,7 @@ class OPV2VDataset:
                 )
                 pts = np.zeros((0, 4), np.float32)
             else:
-                pcd_path = os.path.join(entry["path"], f"{ts}.pcd")
-                if self.adaptor is not None:
-                    switched = self.adaptor.switch_lidar_channels(
-                        modality, pcd_path
-                    )
-                    if os.path.exists(switched):
-                        pcd_path = switched
-                pts = pcd_utils.read_pcd(pcd_path)
-                pts = pcd_utils.mask_ego_points(pts)
-                if self.train:
-                    pts = pcd_utils.shuffle_points(pts, self.rng)
+                pts = self._read_lidar(entry, ts, modality)
             agents.append(pts)
             poses.append(pose)
             # GT union by object id across agents — current-frame yaml for
@@ -321,7 +370,9 @@ class OPV2VDataset:
                 cur = os.path.join(entry["path"], f"{timestamp}.yaml")
                 if os.path.exists(cur):
                     cur_yaml = load_cav_yaml(cur)
-            for oid, o in cur_yaml.get("vehicles", {}).items():
+            for oid, o in self._filter_vehicles(
+                cur_yaml.get("vehicles", {})
+            ).items():
                 vehicles_union.setdefault(oid, o)
             if len(agents) == L:
                 break
@@ -372,34 +423,67 @@ class OPV2VDataset:
                     (k, v) for k, v in vehicles_union.items()
                     if k in visible_ids
                 )
-        gt_boxes, gt_mask, _ = project_world_objects(
+        gt_boxes, gt_mask, gt_ids = project_world_objects(
             vehicles_union, ego_pose, self.lidar_range, self.max_num
         )
-        label = generate_label(
-            gt_boxes, gt_mask, self.anchors, self.pos_threshold,
-            self.neg_threshold,
-        )
+        aug_on = self.augmentor is not None and self.train
+        if aug_on:
+            ngt = int(gt_mask.sum())
+            if self.fusion_mode.startswith("early"):
+                # one world transform in the EGO frame: augment the ego GT
+                # and fold the 4x4 into every agent->ego pairwise matrix so
+                # merge_points_to_ego lands the clouds in augmented coords
+                # (early_fusion_dataset.py:105 augments the merged stack)
+                _, boxes0, A = self.augmentor.transform(
+                    np.zeros((0, 4), np.float32), gt_boxes[:ngt])
+                gt_boxes[:ngt] = boxes0
+                pairwise[:, 0] = (A[None] @ pairwise[:, 0]).astype(
+                    np.float32)
+            else:
+                # late/no fusion: augment the ego slot's cloud + the ego
+                # GT together (late_fusion_dataset.py:167 — each CAV's own
+                # cloud and own-frame GT)
+                k0 = int(point_mask[0].sum())
+                pts0, boxes0, _ = self.augmentor.transform(
+                    points[0, :k0], gt_boxes[:ngt])
+                points[0, :k0] = pts0
+                gt_boxes[:ngt] = boxes0
         sample = {
             "agent_mask": agent_mask,
             "pairwise_t_matrix": pairwise,
-            "pos_equal_one": label["pos_equal_one"],
-            "neg_equal_one": label["neg_equal_one"],
-            "targets": label["targets"],
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
+        sample.update(
+            self._labels_for(gt_boxes, gt_mask, gt_ids, vehicles_union)
+        )
         if self.per_agent_labels:
             # per-agent anchor labels in each agent's own frame
             # (intermediate_heter_fusion_dataset.py label_dict_single /
             # late_fusion_dataset training distribution)
-            ps = np.zeros((L,) + label["pos_equal_one"].shape, np.float32)
+            ps = np.zeros((L,) + sample["pos_equal_one"].shape, np.float32)
             ns = np.zeros_like(ps)
-            ts_ = np.zeros((L,) + label["targets"].shape, np.float32)
+            ts_ = np.zeros((L,) + sample["targets"].shape, np.float32)
             for i in range(na):
-                gtb_i, gtm_i, _ = project_world_objects(
-                    vehicles_union, noisy_poses[i], self.lidar_range,
-                    self.max_num,
-                )
+                if i == 0 and aug_on and not self.fusion_mode.startswith(
+                        "early"):
+                    # ego slot: reuse the jointly-augmented cloud+GT above
+                    gtb_i, gtm_i = gt_boxes.copy(), gt_mask.copy()
+                else:
+                    gtb_i, gtm_i, _ = project_world_objects(
+                        vehicles_union, noisy_poses[i], self.lidar_range,
+                        self.max_num,
+                    )
+                    if i > 0 and aug_on and not self.fusion_mode.startswith(
+                            "early"):
+                        # independent draw per CAV, like each CAV being its
+                        # own late-fusion training sample
+                        ki = int(point_mask[i].sum())
+                        n_i = int(gtm_i.sum())
+                        pts_i, boxes_i, _ = self.augmentor.transform(
+                            points[i, :ki], gtb_i[:n_i])
+                        points[i, :ki] = pts_i
+                        gtb_i[:n_i] = boxes_i
                 lab_i = generate_label(
                     gtb_i, gtm_i, self.anchors, self.pos_threshold,
                     self.neg_threshold,

@@ -230,3 +230,216 @@ def decode_and_nms(
         scores=top_scores[ordr],
         valid=kept,
     )
+
+
+# ----------------------------------------------------------------------
+# V2X-Real multi-class variants
+# (voxel_postprocessor.generate_anchor_box_v2xreal:123-186,
+#  generate_label_v2xreal:312-463, post_process_v2xreal:787-943)
+# ----------------------------------------------------------------------
+
+def generate_anchor_box_multiclass(anchor_args: dict, order: str = "hwl"):
+    """Per-class anchor grids from ``anchor_generator_config``.
+
+    Returns (anchors (C, H', W', A, 7), matched (C,), unmatched (C,),
+    class_names). Each entry of the config carries its own anchor_sizes
+    (lwh), rotations, bottom heights and IoU thresholds; align_center
+    places centers at cell midpoints (generate_anchor_box_v2xreal:133-151).
+    All classes share one feature_map_stride in the shipped configs — we
+    require that so the label/pred maps stack on a single grid.
+    """
+    cfgs = anchor_args["anchor_generator_config"]
+    rng_ = anchor_args["cav_lidar_range"]
+    vw, vh = anchor_args.get("vw", 0.4), anchor_args.get("vh", 0.4)
+    W = anchor_args.get("W", int(round((rng_[3] - rng_[0]) / vw)))
+    H = anchor_args.get("H", int(round((rng_[4] - rng_[1]) / vh)))
+    strides = {int(c.get("feature_map_stride", 4)) for c in cfgs}
+    assert len(strides) == 1, "per-class strides must match"
+    stride = strides.pop()
+    gw, gh = W // stride, H // stride
+
+    out, matched, unmatched, names = [], [], [], []
+    for cfg in cfgs:
+        size = cfg["anchor_sizes"][0]  # (l, w, h)
+        rots = cfg["anchor_rotations"]
+        z = float(cfg["anchor_bottom_heights"][0])
+        if cfg.get("align_center", True):
+            xs = (rng_[3] - rng_[0]) / gw
+            ys = (rng_[4] - rng_[1]) / gh
+            x = np.arange(rng_[0] + xs / 2, rng_[3], xs)[:gw]
+            y = np.arange(rng_[1] + ys / 2, rng_[4], ys)[:gh]
+        else:
+            x = np.linspace(rng_[0], rng_[3], gw)
+            y = np.linspace(rng_[1], rng_[4], gh)
+        cx, cy = np.meshgrid(x, y)  # (gh, gw)
+        A = len(rots)
+        anch = np.zeros((gh, gw, A, 7), np.float32)
+        anch[..., 0] = cx[..., None]
+        anch[..., 1] = cy[..., None]
+        anch[..., 2] = z
+        l, w, h = size  # anchor_sizes are (l, w, h)
+        if order == "hwl":
+            dims = (h, w, l)
+        elif order == "lhw":
+            dims = (l, h, w)
+        else:
+            raise ValueError(f"unknown box order {order}")
+        anch[..., 3:6] = dims
+        anch[..., 6] = np.asarray(rots, np.float32)
+        out.append(anch)
+        matched.append(float(cfg.get("matched_threshold", 0.6)))
+        unmatched.append(float(cfg.get("unmatched_threshold", 0.45)))
+        names.append(cfg.get("class_name", f"class{len(names)}"))
+    return (np.stack(out), np.asarray(matched, np.float32),
+            np.asarray(unmatched, np.float32), names)
+
+
+def generate_label_multiclass(gt_box_center, gt_classes, gt_mask,
+                              anchors_mc, matched, unmatched,
+                              order: str = "hwl") -> dict:
+    """Multi-class anchor target assignment.
+
+    gt_box_center (max_num, 7), gt_classes (max_num,) in 1..C, gt_mask
+    (max_num,). anchors_mc (C, H', W', A, 7). Returns
+    pos_equal_one (H', W', C*A) holding -1 (ignore) / 0 (negative) /
+    class id (positive) — the reference's combined `labels` array — and
+    targets (H', W', C*A*7), class-major on the anchor axis
+    (generate_label_v2xreal:312-463).
+    """
+    assert order == "hwl"
+    C = anchors_mc.shape[0]
+    fm_shape = anchors_mc.shape[1:3]
+    A = anchors_mc.shape[3]
+    labels_all, targets_all = [], []
+    valid = gt_mask == 1
+    for c in range(C):
+        anchors = anchors_mc[c]
+        gsel = valid & (gt_classes - 1 == c)
+        gt_c = gt_box_center[gsel]
+        labels = -np.ones((*fm_shape, A), np.float32)
+        targets = np.zeros((*fm_shape, A, 7), np.float32)
+        anchors_flat = anchors.reshape(-1, 7)
+        anchors_d = np.sqrt(anchors_flat[:, 4] ** 2 + anchors_flat[:, 5] ** 2)
+        if gt_c.shape[0] == 0:
+            labels[...] = 0.0
+            labels_all.append(labels)
+            targets_all.append(targets)
+            continue
+        anchor_corners = box_utils.boxes_to_corners_3d(anchors_flat, order)
+        gt_corners = box_utils.boxes_to_corners_3d(gt_c, order)
+        anchor_standup = box_utils.corners_to_standup_2d(anchor_corners[:, :4])
+        gt_standup = box_utils.corners_to_standup_2d(gt_corners[:, :4])
+        iou = box_utils.aligned_iou_2d(anchor_standup, gt_standup)
+
+        id_highest = np.argmax(iou, axis=0)
+        id_highest_gt = np.arange(iou.shape[1])
+        has = iou[id_highest, id_highest_gt] > 0
+        id_highest, id_highest_gt = id_highest[has], id_highest_gt[has]
+        id_pos, id_pos_gt = np.where(iou > matched[c])
+        id_neg = np.where(
+            (iou < unmatched[c]).sum(axis=1) == iou.shape[1]
+        )[0]
+        id_pos = np.concatenate([id_pos, id_highest])
+        id_pos_gt = np.concatenate([id_pos_gt, id_highest_gt])
+        id_pos, index = np.unique(id_pos, return_index=True)
+        id_pos_gt = id_pos_gt[index]
+
+        ix, iy, iz = np.unravel_index(id_neg, (*fm_shape, A))
+        labels[ix, iy, iz] = 0.0
+        a = anchors_flat[id_pos]
+        d = anchors_d[id_pos]
+        g = gt_c[id_pos_gt]
+        ix, iy, iz = np.unravel_index(id_pos, (*fm_shape, A))
+        labels[ix, iy, iz] = float(c + 1)
+        targets[ix, iy, iz, 0] = (g[:, 0] - a[:, 0]) / d
+        targets[ix, iy, iz, 1] = (g[:, 1] - a[:, 1]) / d
+        targets[ix, iy, iz, 2] = (g[:, 2] - a[:, 2]) / a[:, 3]
+        targets[ix, iy, iz, 3] = np.log(g[:, 3] / a[:, 3])
+        targets[ix, iy, iz, 4] = np.log(g[:, 4] / a[:, 4])
+        targets[ix, iy, iz, 5] = np.log(g[:, 5] / a[:, 5])
+        targets[ix, iy, iz, 6] = g[:, 6] - a[:, 6]
+        labels_all.append(labels)
+        targets_all.append(targets)
+    return {
+        "pos_equal_one": np.concatenate(labels_all, axis=-1),
+        "targets": np.concatenate(targets_all, axis=-2).reshape(
+            (*fm_shape, C * A * 7)
+        ),
+    }
+
+
+class MulticlassDetections(NamedTuple):
+    corners3d: jnp.ndarray  # (K, 8, 3) ego frame
+    scores: jnp.ndarray     # (K,)
+    labels: jnp.ndarray     # (K,) 1-indexed class ids
+    valid: jnp.ndarray      # (K,) bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("score_threshold", "nms_thresh", "topk", "order"),
+)
+def decode_and_nms_multiclass(
+    cls_preds,
+    reg_preds,
+    anchors_mc,
+    transformation_matrix,
+    gt_range,
+    *,
+    score_threshold: float = 0.2,
+    nms_thresh: float = 0.15,
+    topk: int = 512,
+    order: str = "hwl",
+) -> MulticlassDetections:
+    """Single-sample multi-class decode (post_process_v2xreal:787-943).
+
+    cls_preds (H', W', C*A*C) channel-last; reg_preds (H', W', C*A*7);
+    anchors_mc (C, H', W', A, 7). Per anchor-class slot: sigmoid -> max
+    over the C class scores -> argmax label (1-indexed); no direction
+    head in the v2xreal path. Class-wide NMS, like the reference.
+    """
+    C = anchors_mc.shape[0]
+    # (H',W',C,A,7) -> (N, 7): class-major per-pixel, matching the head's
+    # channel layout after the (..., C*A, ...) reshape
+    anchors = jnp.transpose(anchors_mc, (1, 2, 0, 3, 4)).reshape(-1, 7)
+    prob = jax.nn.sigmoid(cls_preds.reshape(-1, C))
+    scores = jnp.max(prob, axis=-1)
+    labels = jnp.argmax(prob, axis=-1) + 1
+
+    d = reg_preds.reshape(-1, 7)
+    diag = jnp.sqrt(anchors[:, 4] ** 2 + anchors[:, 5] ** 2)
+    xy = d[:, 0:2] * diag[:, None] + anchors[:, 0:2]
+    z = d[:, 2:3] * anchors[:, 3:4] + anchors[:, 2:3]
+    hwl = jnp.exp(jnp.clip(d[:, 3:6], -10.0, 10.0)) * anchors[:, 3:6]
+    yaw = d[:, 6:7] + anchors[:, 6:7]
+    boxes = jnp.concatenate([xy, z, hwl, yaw], axis=-1)
+
+    score_ok = scores > score_threshold
+    masked = jnp.where(score_ok, scores, 0.0)
+    topk = min(topk, masked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked, topk)
+    top_boxes = boxes[top_idx]
+    top_labels = labels[top_idx]
+    top_valid = top_scores > score_threshold
+
+    corners = box_utils.boxes_to_corners_3d(top_boxes, order)
+    corners = box_utils.project_box3d(corners, transformation_matrix)
+    # v2xreal uses relaxed sanity filters — trucks exceed the 6 m cap and
+    # curvy roads span heights (remove_large_pred_bbx_v2xreal /
+    # remove_bbx_abnormal_z_v2xreal, box_utils.py:1115-1166: 100 m bounds)
+    x_len = corners[..., 0].max(axis=1) - corners[..., 0].min(axis=1)
+    y_len = corners[..., 1].max(axis=1) - corners[..., 1].min(axis=1)
+    keep = (x_len <= 100.0) & (y_len <= 100.0)
+    keep &= (corners[..., 2].min(axis=1) >= -100.0)
+    keep &= (corners[..., 2].max(axis=1) <= 100.0)
+    keep &= box_utils.mask_boxes_outside_range(corners, gt_range)
+    top_valid &= keep
+
+    quads = corners[:, :4, :2]
+    ordr, kept = rotated_nms(quads, top_scores, top_valid, nms_thresh)
+    return MulticlassDetections(
+        corners3d=corners[ordr],
+        scores=top_scores[ordr],
+        labels=top_labels[ordr],
+        valid=kept,
+    )

@@ -5,6 +5,7 @@ from gencomm_tpu.loss import point_pillar_loss as _pp  # noqa: F401
 from gencomm_tpu.loss import pyramid_loss as _pyr  # noqa: F401
 from gencomm_tpu.loss import ciassd_loss as _ci  # noqa: F401
 from gencomm_tpu.loss import legacy_losses as _ll  # noqa: F401
+from gencomm_tpu.loss import v2xreal_loss as _vr  # noqa: F401
 from gencomm_tpu.models import center_point as _cp  # noqa: F401
 from gencomm_tpu.models.encoders import pixor as _px  # noqa: F401
 

@@ -1,0 +1,164 @@
+"""V2X-Real multi-class detection losses.
+
+Parity: opencood/loss/point_pillar_v2xreal_loss.py:73-150 — per-anchor
+multi-class sigmoid focal loss against one-hot super-class targets (the
+label map holds -1 ignore / 0 negative / 1..C positive), plus beta
+smooth-L1 regression with sin-difference yaw; alpha=0.25 / gamma=2.0 are
+hard-coded in the reference. The *_gencomm / *_codebook / *_mpda variants
+add the same auxiliary terms as their single-class counterparts
+(point_pillar_v2xreal_{gencomm,codebook,mpda}_loss.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gencomm_tpu.loss.point_pillar_loss import (
+    add_sin_difference,
+    weighted_smooth_l1,
+)
+from gencomm_tpu.registry import LOSSES
+
+
+@LOSSES.register("point_pillar_v2xreal_loss")
+class PointPillarV2XRealLoss:
+    """Configured with the hypes ``loss.args`` dict (cls_weight, reg,
+    num_class)."""
+
+    alpha = 0.25
+    gamma = 2.0
+
+    def __init__(self, args: dict):
+        self.num_class = int(args["num_class"])
+        # accept both the reference's flat args (cls_weight / reg scalars,
+        # point_pillar_v2xreal_loss.py) and this repo's nested
+        # detection-loss blocks ({cls: {weight}, reg: {weight}})
+        cls = args.get("cls")
+        if isinstance(cls, dict):
+            self.cls_weight = float(cls.get("weight", 1.0))
+        else:
+            self.cls_weight = float(args.get("cls_weight", 1.0))
+        reg = args.get("reg", 2.0)
+        self.reg_coe = (float(reg.get("weight", 2.0))
+                        if isinstance(reg, dict) else float(reg))
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        """output: cls_preds (B,H,W,A*C*C), reg_preds (B,H,W,A*C*7);
+        target: pos_equal_one (B,H,W,A*C) with -1/0/class-id entries,
+        targets (B,H,W,A*C*7)."""
+        C = self.num_class
+        cls_preds = output[f"cls_preds{suffix}"]
+        reg_preds = output[f"reg_preds{suffix}"]
+        b = cls_preds.shape[0]
+
+        labels = target["pos_equal_one"].reshape(b, -1)  # (B, N)
+        cared = labels >= 0
+        positives = labels > 0
+        negatives = labels == 0
+        cls_weights = (negatives + positives).astype(cls_preds.dtype)
+        reg_weights = positives.astype(cls_preds.dtype)
+        pos_norm = jnp.clip(
+            positives.sum(axis=1, keepdims=True).astype(cls_preds.dtype),
+            1.0, None,
+        )
+        cls_weights = cls_weights / pos_norm
+        reg_weights = reg_weights / pos_norm
+
+        cls_targets = (labels * cared).astype(jnp.int32)
+        one_hot = jax.nn.one_hot(cls_targets, C + 1,
+                                 dtype=cls_preds.dtype)[..., 1:]  # drop bg
+        logits = cls_preds.reshape(b, -1, C)
+
+        # focal loss (reference cls_loss_func:152-182)
+        prob = jax.nn.sigmoid(logits)
+        alpha_w = one_hot * self.alpha + (1 - one_hot) * (1 - self.alpha)
+        pt = one_hot * (1.0 - prob) + (1.0 - one_hot) * prob
+        bce = jnp.clip(logits, 0, None) - logits * one_hot + jnp.log1p(
+            jnp.exp(-jnp.abs(logits))
+        )
+        cls_loss = (alpha_w * pt ** self.gamma * bce
+                    * cls_weights[..., None]).sum() / b
+        conf_loss = cls_loss * self.cls_weight
+
+        reg_flat = reg_preds.reshape(b, -1, 7)
+        reg_targets = target["targets"].reshape(b, -1, 7)
+        reg_enc, tgt_enc = add_sin_difference(reg_flat, reg_targets)
+        # beta=1/9 smooth-L1 == the sigma=3 form used repo-wide
+        reg_loss = weighted_smooth_l1(
+            reg_enc, tgt_enc, reg_weights[..., None], sigma=3.0
+        ).sum() / b * self.reg_coe
+
+        total = conf_loss + reg_loss
+        return {"cls_loss": conf_loss, "reg_loss": reg_loss,
+                "total_loss": total}
+
+
+@LOSSES.register("point_pillar_v2xreal_gencomm_loss")
+class PointPillarV2XRealGenCommLoss(PointPillarV2XRealLoss):
+    """+ generate_weight * masked MSE(gt_feature, pred_feature)
+    (point_pillar_v2xreal_gencomm_loss.py)."""
+
+    def __init__(self, args: dict):
+        super().__init__(args)
+        self.generate_weight = float(args.get("generate_weight", 1.0))
+
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "pred_feature" in output and "gt_feature" in output:
+            pred, gt = output["pred_feature"], output["gt_feature"]
+            mask = output.get("feature_mask")
+            err = (pred - gt) ** 2
+            if mask is not None:
+                m = mask.reshape(mask.shape + (1,) * (err.ndim - mask.ndim))
+                err = err * m
+                denom = jnp.clip(
+                    m.sum() * np.prod(err.shape[mask.ndim:]), 1.0, None
+                )
+                gen = err.sum() / denom
+            else:
+                gen = err.mean()
+            gen = gen * self.generate_weight
+            losses["gen_loss"] = gen
+            losses["total_loss"] = losses["total_loss"] + gen
+        return losses
+
+
+@LOSSES.register("point_pillar_v2xreal_codebook_loss")
+class PointPillarV2XRealCodebookLoss(PointPillarV2XRealLoss):
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "codebook_loss" in output:
+            cb = output["codebook_loss"]
+            losses["codebook_loss"] = cb
+            losses["total_loss"] = losses["total_loss"] + cb
+        return losses
+
+
+@LOSSES.register("point_pillar_v2xreal_mpda_loss")
+class PointPillarV2XRealMPDALoss(PointPillarV2XRealLoss):
+    def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
+        losses = super().__call__(output, target, suffix)
+        if "da_feature" in output:
+            logits = output["da_feature"]  # (B, L, H, W, 1)
+            b, l = logits.shape[:2]
+            labels = (
+                jnp.arange(l)[None, :, None, None, None] == 0
+            ).astype(logits.dtype)
+            labels = jnp.broadcast_to(labels, logits.shape)
+            bce = (
+                jnp.clip(logits, 0, None) - logits * labels
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            mask = target.get("agent_mask")
+            if mask is not None:
+                m = mask[:, :, None, None, None].astype(logits.dtype)
+                da = (bce * m).sum() / jnp.clip(
+                    m.sum() * np.prod(logits.shape[2:]), 1.0, None
+                )
+            else:
+                da = bce.mean()
+            losses["da_loss"] = da
+            losses["total_loss"] = losses["total_loss"] + da
+        return losses

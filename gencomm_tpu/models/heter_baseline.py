@@ -161,6 +161,9 @@ class HeterModel(nn.Module):
     fusion_args: Dict[str, Any]
     lidar_range: Tuple[float, float, float, float, float, float]
     anchor_number: int = 2
+    # V2X-Real multi-class: C>1 widens the heads to A*C*C cls / A*C*7 reg
+    # channels (heter_model_baseline.py:91,130-132)
+    num_class: int = 1
     dir_bins: int = 2
     in_head: int = 128
     use_gencomm: bool = False
@@ -370,14 +373,16 @@ class HeterModel(nn.Module):
         if self.supervise_single:
             flat_feat = feature.reshape((b * l,) + feature.shape[2:])
             cls_s, reg_s, dir_s = DetectionHeads(
-                self.anchor_number, self.dir_bins, name="heads_single"
+                self.anchor_number, self.dir_bins, self.num_class,
+                name="heads_single",
             )(flat_feat)
             out.update(
                 cls_preds_single=cls_s, reg_preds_single=reg_s,
                 dir_preds_single=dir_s,
             )
 
-        heads = DetectionHeads(self.anchor_number, self.dir_bins, name="heads")
+        heads = DetectionHeads(self.anchor_number, self.dir_bins,
+                               self.num_class, name="heads")
 
         if self.use_mpda:
             # non-ego features pass through resizer + cross-domain encoder
@@ -548,6 +553,7 @@ def build_model(hypes: dict) -> HeterModel:
         fusion_args=args,
         lidar_range=tuple(args["lidar_range"]),
         anchor_number=args["anchor_number"],
+        num_class=int(args.get("num_class", 1)),
         dir_bins=args["dir_args"]["num_bins"],
         in_head=args.get("in_head", 128),
         use_gencomm=use_gencomm,

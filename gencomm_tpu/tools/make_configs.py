@@ -659,6 +659,67 @@ def legacy_config(dataset, core, lidar_range):
     return cfg
 
 
+# V2X-Real schema (reference hypes_yaml/v2xreal/GenComm_yamls/gencomm/
+# stage1/m1_att.yaml:19,39,75-100): tall z range, z-collapsing voxels,
+# per-class anchors, 3 super classes, and the v2xreal loss family. All
+# four agent types are PointPillars lidar in the shipped configs.
+V2XREAL_RANGE = [-102.4, -51.2, -15, 102.4, 51.2, 15]
+V2XREAL_ANCHOR_GEN = [
+    {"class_name": "vehicle", "anchor_sizes": [[3.9, 1.6, 1.56]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
+     "align_center": True, "feature_map_stride": 4,
+     "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+    {"class_name": "pedestrian", "anchor_sizes": [[0.8, 0.6, 1.73]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+     "align_center": True, "feature_map_stride": 4,
+     "matched_threshold": 0.5, "unmatched_threshold": 0.35},
+    {"class_name": "truck", "anchor_sizes": [[8, 3, 3]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
+     "align_center": True, "feature_map_stride": 4,
+     "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+]
+_V2XREAL_LOSS_MAP = {
+    "point_pillar_loss": "point_pillar_v2xreal_loss",
+    "point_pillar_gencomm_loss": "point_pillar_v2xreal_gencomm_loss",
+    "point_pillar_codebook_loss": "point_pillar_v2xreal_codebook_loss",
+    "point_pillar_mpda_loss": "point_pillar_v2xreal_mpda_loss",
+}
+
+
+def v2xreal_ify(cfg):
+    """Stamp the V2X-Real multi-class schema onto a config built by the
+    generic family builders: dataset_mode, per-class anchors, num_class=3,
+    z-collapsing voxels, all-pillar agent types, v2xreal losses."""
+    cfg["dataset_mode"] = "vc"
+    cfg["input_source"] = ["lidar"]
+    pp = cfg["postprocess"]
+    pp["num_class"] = 3
+    pp["anchor_args"]["anchor_generator_config"] = copy.deepcopy(
+        V2XREAL_ANCHOR_GEN)
+    cfg["preprocess"]["args"]["voxel_size"] = [0.4, 0.4, 30]
+    # every agent type is a pillar-lidar in V2X-Real (stage1 m1..m4 all
+    # set sensor_type lidar / core point_pillar)
+    for tag in list(cfg["heter"]["modality_setting"]):
+        ms = pillar_modality(V2XREAL_RANGE)
+        ms["preprocess"]["args"]["voxel_size"] = [0.4, 0.4, 30]
+        cfg["heter"]["modality_setting"][tag] = ms
+    margs = cfg["model"]["args"]
+    margs["num_class"] = 3
+    for tag in list(margs):
+        if isinstance(margs.get(tag), dict) and tag.startswith("m") \
+                and "core_method" in margs[tag]:
+            extra = {k: margs[tag][k] for k in ("adapter", "reverter")
+                     if k in margs[tag]}
+            margs[tag] = pillar_branch(V2XREAL_RANGE)
+            margs[tag]["encoder_args"]["voxel_size"] = [0.4, 0.4, 30]
+            margs[tag].update(extra)
+    if cfg["loss"]["core_method"] in _V2XREAL_LOSS_MAP:
+        cfg["loss"]["core_method"] = _V2XREAL_LOSS_MAP[
+            cfg["loss"]["core_method"]]
+        cfg["loss"]["args"]["num_class"] = 3
+    return cfg
+
+
 def late_fusion_config(dataset, lidar_range, early=False):
     mode = "early" if early else "late"
     cfg = intermediate_fusion_config(dataset, "att", lidar_range)
@@ -818,6 +879,76 @@ def main(argv=None):
                    "stamp"):
         cfg = hetero_method_config("dairv2x", method, DAIR_RANGE)
         emit("dairv2x", cfg, fname=f"{method}_m1m2")
+    # camera-only fusion family (reference dairv2x/CameraOnly/*: attfuse,
+    # coalign, cobevt, disco, fcooper, pyramid, v2xvit — single veh/inf
+    # camera per side, sensor m2)
+    for method in ("att", "max", "disconet", "v2xvit", "cobevt", "coalign"):
+        cfg = intermediate_fusion_config(
+            "dairv2x", method, DAIR_RANGE, tag="m2",
+            name=f"dairv2x_camera_{method}")
+        emit("dairv2x", cfg, subdir="camera_only", fname=f"camera_{method}")
+    emit("dairv2x",
+         pyramid_config("dairv2x", DAIR_RANGE, collab=True, tag="m2",
+                        name="dairv2x_camera_pyramid"),
+         subdir="camera_only", fname="camera_pyramid")
+    # GenComm stage1/stage2 per agent-type pair (reference GenComm_yamls/
+    # {gencomm,baselines}: m1=veh pillar, m3=SECOND; att + v2xvit fusion)
+    for tag in ("m1", "m3"):
+        for fusion in ("att", "v2xvit"):
+            emit("dairv2x",
+                 gencomm_stage1_config("dairv2x", tag, DAIR_RANGE, fusion),
+                 subdir="gencomm/stage1", fname=f"{tag}_{fusion}")
+            cfg = intermediate_fusion_config(
+                "dairv2x", fusion, DAIR_RANGE, tag=tag,
+                name=f"dairv2x_baseline_stage1_{tag}_{fusion}")
+            emit("dairv2x", cfg, subdir="baselines/stage1",
+                 fname=f"{tag}_{fusion}")
+    for fusion in ("att", "v2xvit"):
+        cfg = hetero_method_config("dairv2x", "gencomm_stage2", DAIR_RANGE,
+                                   new_tag="m3", fusion=fusion)
+        emit("dairv2x", cfg, subdir="gencomm/stage2",
+             fname=f"m1m3_{fusion}")
+        for method in ("backalign", "codefilling", "mpda"):
+            cfg = hetero_method_config("dairv2x", method, DAIR_RANGE,
+                                       new_tag="m3", fusion=fusion)
+            emit("dairv2x", cfg, subdir=f"baselines/stage2/{method}",
+                 fname=f"m1m3_{fusion}")
+        for new_tag in ("m1", "m3"):
+            cfg = hetero_method_config("dairv2x", "stamp", DAIR_RANGE,
+                                       base_tag="m0", new_tag=new_tag,
+                                       fusion=fusion)
+            emit("dairv2x", cfg, subdir="baselines/stage2/stamp",
+                 fname=f"m0{new_tag}_{fusion}")
+    # 2-modality end-to-end training (reference MoreModality/
+    # 2_modality_end2end_training: lidar+camera x 7 fusions)
+    for method in ("att", "max", "disconet", "v2xvit", "cobevt", "coalign",
+                   "v2vnet"):
+        cfg = multi_modality_config("dairv2x", ("m1", "m2"), method,
+                                    DAIR_RANGE)
+        emit("dairv2x", cfg, subdir="more_modality/2_modality_end2end",
+             fname=f"lidar_camera_{method}")
+    # HEAL protocol (reference MoreModality/HEAL)
+    emit("dairv2x",
+         pyramid_config("dairv2x", DAIR_RANGE, collab=True, tag="m1",
+                        name="dairv2x_heal_stage1_m1_pyramid"),
+         subdir="heal/stage1", fname="m1_pyramid")
+    for tag in ("m2", "m3", "m4"):
+        emit("dairv2x",
+             pyramid_config("dairv2x", DAIR_RANGE, collab=False, tag=tag,
+                            name=f"dairv2x_heal_stage2_{tag}_single"),
+             subdir="heal/stage2", fname=f"{tag}_single_pyramid")
+    emit("dairv2x",
+         pyramid_collab_multi_config("dairv2x", DAIR_RANGE,
+                                     tags=("m1", "m2"),
+                                     name="dairv2x_heal_final_m1m2"),
+         subdir="heal/final_infer", fname="m1m2")
+    # single-side pretrains (reference Single/DAIR_single_*: pillar,
+    # LSS-efficientnet analog, LSS-resnet analog, SECOND)
+    for tag, fname in (("m1", "single_m1"), ("m2", "single_m2_lss"),
+                       ("m4", "single_m2_lss_deep"),
+                       ("m3", "single_m2_second")):
+        emit("dairv2x", single_pretrain_config("dairv2x", tag, DAIR_RANGE),
+             subdir="single", fname=fname)
 
     # v2xset (reference: 18): fusion family + gencomm
     for method in FUSION_EXTRAS:
@@ -834,15 +965,37 @@ def main(argv=None):
              intermediate_fusion_config("v2xsim", method, LIDAR_RANGE))
     emit("v2xsim", gencomm_stage1_config("v2xsim", "m1", LIDAR_RANGE))
 
-    # v2xreal (reference: 27): fusion family + gencomm + hetero methods
+    # v2xreal (reference: 27): the GenComm protocol over four pillar-lidar
+    # agent types with the multi-class schema (v2xreal_ify), plus the
+    # homogeneous fusion family
     for method in FUSION_EXTRAS:
-        emit("v2xreal",
-             intermediate_fusion_config("v2xreal", method, LIDAR_RANGE))
-    emit("v2xreal", gencomm_stage1_config("v2xreal", "m1", LIDAR_RANGE))
-    for method in ("gencomm_stage2", "backalign", "codefilling", "mpda",
-                   "stamp"):
-        cfg = hetero_method_config("v2xreal", method, LIDAR_RANGE)
-        emit("v2xreal", cfg, fname=f"{method}_m1m2")
+        emit("v2xreal", v2xreal_ify(
+            intermediate_fusion_config("v2xreal", method, V2XREAL_RANGE)))
+    for tag in ("m1", "m2", "m3", "m4"):
+        emit("v2xreal", v2xreal_ify(
+            gencomm_stage1_config("v2xreal", tag, V2XREAL_RANGE)),
+            subdir="gencomm/stage1", fname=f"{tag}_att")
+        emit("v2xreal", v2xreal_ify(
+            intermediate_fusion_config(
+                "v2xreal", "att", V2XREAL_RANGE, tag=tag,
+                name=f"v2xreal_baseline_stage1_{tag}_attfuse")),
+            subdir="baselines/stage1", fname=f"{tag}_attfuse")
+    for new_tag in ("m2", "m3", "m4"):
+        emit("v2xreal", v2xreal_ify(
+            hetero_method_config("v2xreal", "gencomm_stage2",
+                                 V2XREAL_RANGE, new_tag=new_tag)),
+            subdir="gencomm/stage2", fname=f"m1{new_tag}_att")
+        for method in ("backalign", "codefilling", "mpda"):
+            emit("v2xreal", v2xreal_ify(
+                hetero_method_config("v2xreal", method, V2XREAL_RANGE,
+                                     new_tag=new_tag)),
+                subdir=f"baselines/stage2/{method}",
+                fname=f"m1{new_tag}_att")
+    for new_tag in ("m1", "m2", "m3", "m4"):
+        emit("v2xreal", v2xreal_ify(
+            hetero_method_config("v2xreal", "stamp", V2XREAL_RANGE,
+                                 base_tag="m0", new_tag=new_tag)),
+            subdir="baselines/stage2/stamp", fname=f"m0{new_tag}_att")
 
     print(f"emitted {len(emitted)} configs")
     return emitted

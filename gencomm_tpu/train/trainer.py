@@ -319,6 +319,40 @@ def make_train_step(model, criterion, tx,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def refresh_batch_stats(model, state: TrainState, batches: Iterable,
+                        rng, momentum: float = 0.99) -> TrainState:
+    """Replace BatchNorm running averages with the data's true statistics
+    — the JAX analog of precise-BN / the reference's ``fix_bn``
+    recalibration (utils/model_utils.py). With flax momentum 0.99, short
+    smoke runs leave running stats far from the batch statistics (0.99^300
+    still carries a 5% residual of init — enough to wreck box decoding),
+    so eval-mode predictions diverge from train-mode even on a fully
+    overfit batch. One mutable forward yields ra' = m*ra + (1-m)*b per
+    layer, so the exact per-batch statistics are recovered by
+    extrapolation b = (ra' - m*ra)/(1-m) and averaged over ``batches``.
+    All BN layers in this repo use momentum 0.99."""
+    fwd = jax.jit(partial(
+        model.apply, train=True, mutable=["batch_stats"]))
+    stats = state.batch_stats
+    batches = list(batches)
+    acc = None
+    for i, batch in enumerate(batches):
+        r = jax.random.fold_in(rng, i)
+        _, mut = fwd(
+            {"params": state.params, "batch_stats": stats}, batch,
+            rngs={"dropout": jax.random.fold_in(r, 1),
+                  "diffusion": jax.random.fold_in(r, 0)},
+        )
+        exact = jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            mut["batch_stats"], stats,
+        )
+        acc = exact if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, exact)
+    acc = jax.tree_util.tree_map(lambda x: x / len(batches), acc)
+    return state.replace(batch_stats=acc)
+
+
 def make_eval_step(model, criterion):
     """Jitted (state, batch, rng) -> losses dict, no grad/update — the val
     half of the reference's epoch loop (train.py:169-214 bestval

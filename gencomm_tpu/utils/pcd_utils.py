@@ -62,6 +62,16 @@ def read_pcd(path: str) -> np.ndarray:
     return pts[np.isfinite(pts).all(axis=1)].astype(np.float32)
 
 
+def load_lidar_bin(path: str, zero_intensity: bool = False) -> np.ndarray:
+    """KITTI-style .bin -> (N, 4) float32, NaN rows dropped (V2X-Real
+    lidar format; reference pcd_utils.load_lidar_bin:218-227)."""
+    pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    pts = pts[~np.isnan(pts[:, :3]).any(axis=1)]
+    if zero_intensity:
+        pts[:, -1] = 0
+    return pts
+
+
 def write_pcd(path: str, points: np.ndarray) -> None:
     """Write (N, 4) points as an ascii PCD (test fixtures / export)."""
     n = len(points)

@@ -35,4 +35,4 @@ def test_config_count_covers_method_matrix():
     # families + multi-modality end2end + gencomm/baseline/HEAL stage
     # matrices + single pretrains, across the five datasets (reference
     # ships 253 hypes yamls)
-    assert len(CONFIGS) >= 150
+    assert len(CONFIGS) >= 240

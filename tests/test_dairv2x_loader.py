@@ -31,13 +31,26 @@ def box_world_8_points(cx, cy, cz, l, w, h, yaw):
     return np.stack([px, py, zs + cz], axis=1).tolist()
 
 
+def single_obj(x, y, z, l, w, h, rot, typ="Car"):
+    return {"type": typ, "rotation": rot,
+            "3d_location": {"x": x, "y": y, "z": z},
+            "3d_dimensions": {"l": l, "w": w, "h": h}}
+
+
 @pytest.fixture(scope="module")
 def dair_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("dair")
     for sub in ("cooperative", "vehicle-side/calib/lidar_to_novatel",
                 "vehicle-side/calib/novatel_to_world",
+                "vehicle-side/calib/lidar_to_camera",
+                "vehicle-side/calib/camera_intrinsic",
                 "infrastructure-side/calib/virtuallidar_to_world",
+                "infrastructure-side/calib/virtuallidar_to_camera",
+                "infrastructure-side/calib/camera_intrinsic",
                 "vehicle-side/velodyne", "infrastructure-side/velodyne",
+                "vehicle-side/label/lidar",
+                "infrastructure-side/label/virtuallidar",
+                "vehicle-side/image", "infrastructure-side/image",
                 "cooperative/label_world"):
         (root / sub).mkdir(parents=True, exist_ok=True)
 
@@ -75,6 +88,44 @@ def dair_root(tmp_path_factory):
         {"world_8_points": box_world_8_points(16.0, 5.0, 0.0,
                                               4.0, 1.8, 1.5, 0.3)}
     ]))
+    # ---- single-side labels (heter / late-fusion GT source) -----------
+    # veh frame is world - (10, 5). Car at world (16, 5) -> veh (6, 0)
+    # duplicates the coop box; Van at veh (3, 2); plus filter bait: a
+    # Pedestrian (type outside the Car/Van/Truck/Bus set) and a zero-dim
+    # box (both must be dropped, box_utils.load_single_objects_dairv2x).
+    (root / f"vehicle-side/label/lidar/{vid}.json").write_text(json.dumps([
+        single_obj(6.0, 0.0, 0.0, 4.0, 1.8, 1.5, 0.3),
+        single_obj(3.0, 2.0, 0.0, 4.2, 1.9, 1.6, 0.0, "Van"),
+        single_obj(1.0, -2.0, 0.0, 0.6, 0.5, 1.7, 0.0, "Pedestrian"),
+        single_obj(2.0, -3.0, 0.0, 0.0, 1.8, 1.5, 0.0),
+    ]))
+    # inf frame is world - (30.1, 4.8) after the system offset. The same
+    # Car seen at inf (-14.1, 0.2) (drops in the IoU merge) + a Truck at
+    # world (20, 3) -> inf (-10.1, -1.8) -> ego (10, -2). String coords
+    # exercise the camera-label parsing path.
+    (root / f"infrastructure-side/label/virtuallidar/{iid}.json").write_text(
+        json.dumps([
+            single_obj(-14.1, 0.2, 0.0, 4.0, 1.8, 1.5, 0.3),
+            single_obj("-10.1", "-1.8", "0.0", 8.0, 2.6, 3.0, 0.1, "Truck"),
+        ]))
+    # ---- camera files --------------------------------------------------
+    from PIL import Image
+    rgb = (rng.uniform(0, 255, (64, 96, 3))).astype("uint8")
+    Image.fromarray(rgb).save(root / f"vehicle-side/image/{vid}.jpg")
+    Image.fromarray(rgb[::-1]).save(
+        root / f"infrastructure-side/image/{iid}.jpg")
+    cam_rot = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    for side, fid in (("vehicle-side/calib/lidar_to_camera", vid),
+                      ("infrastructure-side/calib/virtuallidar_to_camera",
+                       iid)):
+        (root / side / f"{fid}.json").write_text(json.dumps(
+            {"rotation": cam_rot.tolist(), "translation": [[0.1], [0.2], [0.3]]}
+        ))
+    intr = [400.0, 0.0, 48.0, 0.0, 400.0, 32.0, 0.0, 0.0, 1.0]
+    for side, fid in (("vehicle-side/calib/camera_intrinsic", vid),
+                      ("infrastructure-side/calib/camera_intrinsic", iid)):
+        (root / side / f"{fid}.json").write_text(json.dumps(
+            {"cam_D": [0] * 5, "cam_K": intr}))
     (root / "split.json").write_text(json.dumps([vid]))
     return str(root)
 
@@ -145,3 +196,102 @@ def test_dair_heter_masks(dair_root):
     s = ds[0]
     assert s["modality_mask_m1"].tolist() == [True, False]
     assert s["modality_mask_m2"].tolist() == [False, True]
+
+
+def _heter_params(root):
+    params = make_params(root)
+    params["heter"] = {"ego_modality": "m1",
+                       "mapping_dict": {"m1": "m1", "m2": "m2"},
+                       "modality_setting": {"m1": {}, "m2": {}}}
+    return params
+
+
+def test_single_label_iou_merge(dair_root):
+    """Hetero GT = per-side single labels in the ego frame merged by IoU:
+    the duplicated Car collapses, veh Van + inf Truck survive, the
+    Pedestrian/zero-dim bait is filtered
+    (intermediate_heter_fusion_dataset.py:294-323)."""
+    ds = DAIRV2XDataset(_heter_params(dair_root), train=False)
+    s = ds[0]
+    n = int(s["gt_mask"].sum())
+    assert n == 3
+    centers = sorted(s["gt_boxes"][:n, :2].tolist())
+    np.testing.assert_allclose(centers[0], [3.0, 2.0], atol=0.05)   # Van
+    np.testing.assert_allclose(centers[1], [6.0, 0.0], atol=0.05)   # Car
+    np.testing.assert_allclose(centers[2], [10.0, -2.0], atol=0.05)  # Truck
+    # the truck came through the string-coordinate camera-label path and
+    # kept its dims (hwl order: l last)
+    truck_i = int(np.argmax(s["gt_boxes"][:n, 5]))
+    assert abs(s["gt_boxes"][truck_i, 5] - 8.0) < 0.05
+
+
+def test_per_agent_single_labels(dair_root):
+    """Each agent's supervise_single labels come from its OWN single list
+    in its own frame (generate_object_center_single_hetero)."""
+    ds = DAIRV2XDataset(_heter_params(dair_root), train=False)
+    s = ds[0]
+    assert s["pos_equal_one_single"].shape[0] == 2
+    # both sides have at least one positive anchor
+    assert (s["pos_equal_one_single"][0] > 0).any()
+    assert (s["pos_equal_one_single"][1] > 0).any()
+    # inf side sees 2 in-range objects in its own frame, veh sees 2 -> the
+    # label maps must differ
+    assert not np.array_equal(s["pos_equal_one_single"][0],
+                              s["pos_equal_one_single"][1])
+
+
+def test_train_ego_swap(dair_root):
+    """Train draws ego = veh or RSU with p=0.5
+    (dairv2x_basedataset.py:176-181)."""
+    ds = DAIRV2XDataset(_heter_params(dair_root), train=True)
+    # veh pcd has 200 points, inf 150 — slot 0's count reveals the ego side
+    slot0_counts = set()
+    for _ in range(20):
+        s = ds[0]
+        slot0_counts.add(int(s["point_mask_m1"][0].sum()))
+    assert slot0_counts == {200, 150}
+    # eval never swaps (ego modality m1 = vehicle side first)
+    ds_eval = DAIRV2XDataset(_heter_params(dair_root), train=False)
+    for _ in range(5):
+        s = ds_eval[0]
+        assert int(s["point_mask_m1"][0].sum()) == 200
+        assert s["modality_mask_m1"].tolist() == [True, False]
+
+
+def test_late_fusion_iou_merged_gt(dair_root):
+    """DAIR late fusion evaluates against the IoU-merged veh+inf single
+    labels (generate_gt_bbx_by_iou), not the cooperative labels."""
+    params = make_params(dair_root)
+    params["fusion"] = {"core_method": "latefusion"}
+    ds = DAIRV2XDataset(params, train=False)
+    s = ds[0]
+    assert int(s["gt_mask"].sum()) == 3  # coop labels would give 1
+
+
+def test_dair_camera_loading(dair_root):
+    """Camera modality loads the side's jpg through the LSS aug chain with
+    the DAIR calib chain (lidar_to_camera inverted, cam_K intrinsics)."""
+    params = _heter_params(dair_root)
+    params["heter"]["modality_setting"]["m2"] = {
+        "sensor_type": "camera",
+        "data_aug_conf": {
+            "H": 64, "W": 96, "final_dim": [32, 48], "Ncams": 1,
+            "resize_lim": [0.55, 0.6], "bot_pct_lim": [0.0, 0.05],
+            "rot_lim": [-1.0, 1.0], "rand_flip": False,
+        },
+    }
+    ds = DAIRV2XDataset(params, train=False)
+    s = ds[0]
+    assert s["imgs_m2"].shape == (2, 1, 32, 48, 3)
+    assert s["modality_mask_m2"].tolist() == [False, True]
+    assert s["modality_mask_m1"].tolist() == [True, False]
+    # infra slot carries real pixels, veh slot stays zero-padded
+    assert np.abs(s["imgs_m2"][1]).sum() > 0
+    assert np.abs(s["imgs_m2"][0]).sum() == 0
+    np.testing.assert_allclose(s["intrins_m2"][1, 0, 0, 0], 400.0)
+    # rots = inverse(lidar->camera) rotation = cam_rot.T
+    cam_rot = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    np.testing.assert_allclose(s["rots_m2"][1, 0], cam_rot.T, atol=1e-6)
+    # lidar side untouched
+    assert s["point_mask_m1"][0].sum() > 0
+    assert s["point_mask_m1"][1].sum() == 0

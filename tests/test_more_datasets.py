@@ -77,10 +77,12 @@ def test_v2xreal_class_mapping():
     from gencomm_tpu.data.v2xreal import class_id, CLASS_NAMES
 
     assert CLASS_NAMES == ["vehicle", "pedestrian", "truck"]
-    assert class_id({"obj_type": "Car"}) == 0
-    assert class_id({"obj_type": "Pedestrian"}) == 1
-    assert class_id({"obj_type": "Bus"}) == 2
-    assert class_id({"obj_type": "???"}) == 0  # unknown -> vehicle
+    # 1-indexed super-class ids; names outside the vocabulary are dropped
+    # (reference filter_boxes_by_class, v2xreal_basedataset.py:753-770)
+    assert class_id({"obj_type": "Car"}) == 1
+    assert class_id({"obj_type": "Pedestrian"}) == 2
+    assert class_id({"obj_type": "Bus"}) == 3
+    assert class_id({"obj_type": "???"}) is None
 
 
 def test_multiclass_eval():

@@ -124,3 +124,65 @@ def test_loader_pose_noise(mock_root):
     # noisy relative pose differs from the clean one but not wildly
     assert not np.allclose(p, [8.0, 2.0], atol=1e-3)
     assert np.linalg.norm(p - [8.0, 2.0]) < 5.0
+
+
+def test_augmentor_wiring_late(mock_root):
+    """data_augment in the hypes fires the world augmentor for late-fusion
+    training (opv2v_basedataset.py:42-45, late_fusion_dataset.py:167):
+    a deterministic 2x scaling doubles the ego cloud and the GT dims;
+    eval stays untouched."""
+    params = dict(PARAMS, root_dir=mock_root, validate_dir=mock_root)
+    params["fusion"] = {"core_method": "latefusion"}
+    params["data_augment"] = [
+        {"NAME": "random_world_scaling", "WORLD_SCALE_RANGE": [2.0, 2.0]},
+    ]
+    base = dict(params)
+    base.pop("data_augment")
+    plain = OPV2VDataset(base, train=True, max_points=2048)[0]
+    ds = OPV2VDataset(params, train=True, max_points=2048)
+    s = ds[0]
+    n = int(s["gt_mask"].sum())
+    np.testing.assert_allclose(
+        s["gt_boxes"][:n, 3:6], plain["gt_boxes"][:n, 3:6] * 2.0, rtol=1e-5)
+    k = int(s["point_mask_m1"][0].sum())
+    np.testing.assert_allclose(
+        s["points_m1"][0, :k, :3], plain["points_m1"][0, :k, :3] * 2.0,
+        rtol=1e-5)
+    # labels regenerated from the augmented GT differ from the plain ones
+    assert not np.array_equal(s["targets"], plain["targets"])
+    # eval mode: augmentor inert
+    s_eval = OPV2VDataset(params, train=False, max_points=2048)[0]
+    p_eval = OPV2VDataset(base, train=False, max_points=2048)[0]
+    np.testing.assert_allclose(s_eval["gt_boxes"], p_eval["gt_boxes"])
+
+
+def test_augmentor_wiring_early(mock_root):
+    """Early fusion folds the world transform into the agent->ego pairwise
+    matrices instead of mutating local clouds
+    (early_fusion_dataset.py:105 augments the merged ego-frame stack)."""
+    params = dict(PARAMS, root_dir=mock_root, validate_dir=mock_root)
+    params["fusion"] = {"core_method": "early"}
+    params["data_augment"] = [
+        {"NAME": "random_world_scaling", "WORLD_SCALE_RANGE": [2.0, 2.0]},
+    ]
+    base = dict(params)
+    base.pop("data_augment")
+    plain = OPV2VDataset(base, train=True, max_points=2048)[0]
+    s = OPV2VDataset(params, train=True, max_points=2048)[0]
+    n = int(s["gt_mask"].sum())
+    np.testing.assert_allclose(
+        s["gt_boxes"][:n, :6], plain["gt_boxes"][:n, :6] * 2.0, rtol=1e-5)
+    # local clouds untouched; the ego column of pairwise carries the 2x
+    k = int(s["point_mask_m1"][0].sum())
+    np.testing.assert_allclose(s["points_m1"][0, :k], plain["points_m1"][0, :k])
+    np.testing.assert_allclose(
+        s["pairwise_t_matrix"][0, 0, :3, :3], np.eye(3) * 2.0, atol=1e-6)
+    # merged ego cloud lands in augmented coords consistent with the GT
+    from gencomm_tpu.data.early_fusion import merge_points_to_ego
+
+    batch = {kk: np.asarray(vv)[None] for kk, vv in s.items()}
+    merged = merge_points_to_ego(batch, lidar_range=None)
+    mpts = merged["points_m1"][0, 0][merged["point_mask_m1"][0, 0] > 0]
+    # cloud was built on the GT vehicle: its centroid tracks the scaled box
+    np.testing.assert_allclose(
+        mpts[:, :2].mean(axis=0), s["gt_boxes"][0, :2], atol=1.0)
