@@ -90,6 +90,65 @@ def project_world_objects(vehicles: dict, lidar_pose, lidar_range,
     return boxes, mask, ids
 
 
+def project_world_objects_multi(vehicles: dict, poses: np.ndarray,
+                                lidar_range, max_num: int,
+                                order: str = "hwl"):
+    """Vectorized L-agent variant of :func:`project_world_objects`.
+
+    One pass parses the object dicts and batch-transforms all K objects
+    into all L agent frames ((L, K) einsum instead of L x K python-loop
+    iterations) — this was the serialized host hot spot the round-1 trace
+    blamed for the wall/device train-step gap (VERDICT r1 weak #5).
+
+    Returns (boxes (L, max_num, 7), masks (L, max_num), ids: per-agent
+    kept-object-id lists), matching the single-agent function's semantics
+    (insertion order, any-of-first-4-corners-in-xy-range keep rule,
+    max_num cap).
+    """
+    from gencomm_tpu.utils.transformation_utils import x_to_world_batch
+
+    L = len(poses)
+    boxes = np.zeros((L, max_num, 7), np.float32)
+    masks = np.zeros((L, max_num), np.float32)
+    ids: list[list] = [[] for _ in range(L)]
+    if not vehicles or L == 0:
+        return boxes, masks, ids
+    oids = list(vehicles)
+    obj_poses = np.array(
+        [[v["location"][0] + v.get("center", (0, 0, 0))[0],
+          v["location"][1] + v.get("center", (0, 0, 0))[1],
+          v["location"][2] + v.get("center", (0, 0, 0))[2],
+          v["angle"][0], v["angle"][1], v["angle"][2]]
+         for v in vehicles.values()], np.float64)
+    extents = np.array([v["extent"] for v in vehicles.values()], np.float64)
+    corners = box_utils.create_bbx_batch(extents)  # (K, 8, 3)
+    hom = np.concatenate([corners, np.ones_like(corners[..., :1])], -1)
+    obj2world = x_to_world_batch(obj_poses)  # (K, 4, 4)
+    world_c = np.einsum("kij,kpj->kpi", obj2world, hom)  # (K, 8, 4)
+    agent2world = x_to_world_batch(np.asarray(poses))  # (L, 4, 4)
+    # corners in each agent frame: solve(T_agent, world) batched over (L, K)
+    agent_c = np.linalg.solve(
+        agent2world[:, None], np.swapaxes(world_c, -1, -2)[None]
+    )  # (L, K, 4, 8)
+    agent_c = np.swapaxes(agent_c, -1, -2)[..., :3]  # (L, K, 8, 3)
+    K = len(oids)
+    box7 = box_utils.corner_to_center(
+        agent_c.reshape(L * K, 8, 3), order=order
+    ).reshape(L, K, 7)
+    xy = agent_c[:, :, :4, :2]
+    inside = (
+        (xy[..., 0] >= lidar_range[0]) & (xy[..., 0] <= lidar_range[3])
+        & (xy[..., 1] >= lidar_range[1]) & (xy[..., 1] <= lidar_range[4])
+    ).any(axis=2)  # (L, K)
+    for i in range(L):
+        kept = np.nonzero(inside[i])[0][:max_num]
+        n = len(kept)
+        boxes[i, :n] = box7[i, kept]
+        masks[i, :n] = 1.0
+        ids[i] = [oids[k] for k in kept]
+    return boxes, masks, ids
+
+
 @DATASETS.register("opv2v")
 class OPV2VDataset:
     """Directory-scan dataset producing padded model batches."""
@@ -169,6 +228,30 @@ class OPV2VDataset:
             self.lidar_modalities = ["m1"]
         self.label_type = params.get("label_type", "lidar")
         self.use_hdf5 = params.get("use_hdf5", True)
+        # STAMP yaml_parsers variant: a modality_setting may carry its OWN
+        # postprocess block (own lidar range + anchor grid) — per-agent
+        # labels for such modalities are generated at that modality's range
+        # (opv2v4stamp_basedataset.py + intermediate_heter_adapter_fusion_
+        # dataset.py:90-115,678: post_processor_dict[modality].generate_label
+        # with anchor_box_{modality})
+        self.modality_post = {}
+        for m in self.model_modalities:
+            mpost = hset.get(m, {}).get("postprocess")
+            if not mpost or "anchor_args" not in mpost:
+                continue
+            m_order = mpost.get("order",
+                                params["postprocess"].get("order", "hwl"))
+            tgt = mpost.get("target_args",
+                            params["postprocess"]["target_args"])
+            aa = mpost["anchor_args"]
+            self.modality_post[m] = {
+                "anchors": generate_anchor_box(aa, m_order),
+                "range": list(
+                    hset[m].get("preprocess", {}).get(
+                        "cav_lidar_range", aa["cav_lidar_range"])),
+                "pos": tgt["pos_threshold"],
+                "neg": tgt["neg_threshold"],
+            }
         # GT depth maps for LSS depth supervision, gated like the
         # reference's load_depth_file (opv2v_basedataset.py:63)
         self.load_depth = "depth" in params.get("input_source", [])
@@ -464,16 +547,17 @@ class OPV2VDataset:
             ps = np.zeros((L,) + sample["pos_equal_one"].shape, np.float32)
             ns = np.zeros_like(ps)
             ts_ = np.zeros((L,) + sample["targets"].shape, np.float32)
+            gtb_all, gtm_all, _ = project_world_objects_multi(
+                vehicles_union, noisy_poses[:na], self.lidar_range,
+                self.max_num,
+            )
             for i in range(na):
                 if i == 0 and aug_on and not self.fusion_mode.startswith(
                         "early"):
                     # ego slot: reuse the jointly-augmented cloud+GT above
                     gtb_i, gtm_i = gt_boxes.copy(), gt_mask.copy()
                 else:
-                    gtb_i, gtm_i, _ = project_world_objects(
-                        vehicles_union, noisy_poses[i], self.lidar_range,
-                        self.max_num,
-                    )
+                    gtb_i, gtm_i = gtb_all[i], gtm_all[i]
                     if i > 0 and aug_on and not self.fusion_mode.startswith(
                             "early"):
                         # independent draw per CAV, like each CAV being its
@@ -494,6 +578,31 @@ class OPV2VDataset:
             sample["pos_equal_one_single"] = ps
             sample["neg_equal_one_single"] = ns
             sample["targets_single"] = ts_
+        # per-modality-range single labels (STAMP): each agent of modality
+        # m gets labels at m's OWN range/anchors; slots of other modalities
+        # stay zero and are masked by modality_mask_{m}
+        for m, mp in self.modality_post.items():
+            shape = mp["anchors"].shape[:2] + (mp["anchors"].shape[2],)
+            ps_m = np.zeros((L,) + shape, np.float32)
+            ns_m = np.zeros_like(ps_m)
+            ts_m = np.zeros((L,) + shape[:2] + (shape[2] * 7,), np.float32)
+            slots = [i for i in range(na) if agent_modalities[i] == m]
+            if slots:
+                gtb_m, gtm_m, _ = project_world_objects_multi(
+                    vehicles_union, noisy_poses[slots], mp["range"],
+                    self.max_num,
+                )
+            for si, i in enumerate(slots):
+                gtb_i, gtm_i = gtb_m[si], gtm_m[si]
+                lab_i = generate_label(
+                    gtb_i, gtm_i, mp["anchors"], mp["pos"], mp["neg"],
+                )
+                ps_m[i] = lab_i["pos_equal_one"]
+                ns_m[i] = lab_i["neg_equal_one"]
+                ts_m[i] = lab_i["targets"]
+            sample[f"pos_equal_one_single_{m}"] = ps_m
+            sample[f"neg_equal_one_single_{m}"] = ns_m
+            sample[f"targets_single_{m}"] = ts_m
         # per-modality slot masks + shared point buffers (the model runs
         # each lidar branch over all slots and mask-combines)
         for m in self.lidar_modalities:

@@ -143,6 +143,11 @@ class LSSEncoder(nn.Module):
     depth_topk: int = 0
     # bf16 activations in the image trunk (config key trunk_bf16)
     trunk_bf16: bool = False
+    # bf16 update rows + accumulator in the BEV splat scatter (config key
+    # splat_bf16): halves the HBM traffic of the segment_sum, the round-1
+    # trace's hottest camera op; probabilities/features are O(1) so the
+    # ~0.4% bf16 rounding is far below detection noise
+    splat_bf16: bool = False
 
     def setup(self):
         self.dx, self.bx, self.nx_grid = gen_dx_bx(
@@ -311,9 +316,11 @@ class LSSEncoder(nn.Module):
         # (dense: 11.3 -> 8.7 fps; top-K 384k rows: 63.1 -> 58.6 fps):
         # permuting the (M, C) feature rows costs more than the random
         # scatter saves. Keep the direct segment_sum.
+        if self.splat_bf16:
+            updates = updates.astype(jnp.bfloat16)
         canvas = jax.ops.segment_sum(
             updates, flat_id.reshape(-1), num_segments=a * nz * ny * nx + 1
-        )[:-1]
+        )[:-1].astype(jnp.float32)
         canvas = canvas.reshape(a, nz, ny, nx, -1)
         # collapse z by channel concat (reference unbind+cat, nz=1 in configs)
         return jnp.concatenate([canvas[:, i] for i in range(nz)], axis=-1)

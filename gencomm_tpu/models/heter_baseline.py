@@ -65,6 +65,7 @@ class ModalityBranch(nn.Module):
                 trunk_blocks=self.encoder_args.get("trunk_blocks", 2),
                 depth_topk=self.encoder_args.get("depth_topk", 0),
                 trunk_bf16=self.encoder_args.get("trunk_bf16", False),
+                splat_bf16=self.encoder_args.get("splat_bf16", False),
                 name="encoder",
             )
             canvas, depth_logits = enc(inputs, train)
@@ -289,8 +290,11 @@ class HeterModel(nn.Module):
                     out[f"depth_items_{mname}"] = depth_logits
             feats[mname] = feat
             mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
-            contrib = feat * mmask
-            feature = contrib if feature is None else feature + contrib
+            if not self.use_stamp:
+                # STAMP modalities may live on DIFFERENT grids (own lidar
+                # ranges); their combine happens below in protocol space
+                contrib = feat * mmask
+                feature = contrib if feature is None else feature + contrib
             if self.use_gencomm:
                 flat = feat.reshape((b * l,) + feat.shape[2:])
                 msg = MessageExtractor(
@@ -299,8 +303,6 @@ class HeterModel(nn.Module):
                 )(flat).reshape((b, l) + feat.shape[2:-1] + (self.message_ch,))
                 mcontrib = msg * mmask
                 message = mcontrib if message is None else message + mcontrib
-
-        hw = feature.shape[2:4]
 
         if self.use_stamp:
             # rebuild the combined feature in protocol space: non-ego
@@ -352,6 +354,8 @@ class HeterModel(nn.Module):
                 mmask = batch[f"modality_mask_{mname}"][..., None, None, None]
                 contrib = proto * mmask
                 feature = contrib if feature is None else feature + contrib
+
+        hw = feature.shape[2:4]
 
         if (not train) and (
             self.feature_missing_rate > 0 or self.feature_noise_std > 0

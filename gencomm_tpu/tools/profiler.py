@@ -38,6 +38,31 @@ def flops_estimate(fn, *args) -> float | None:
         return None
 
 
+def peak_flops_per_s(device=None) -> float:
+    """Peak bf16 FLOPs/s of the attached chip, for MFU accounting.
+
+    Known TPUs (jax-ml.github.io/scaling-book numbers); defaults to v5e
+    when the device kind is unrecognized. Override with --peak_tflops.
+    """
+    kind = (device or jax.devices()[0]).device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12,
+        "v4": 275e12, "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197e12
+
+
+def mfu(flops: float | None, latency_s: float,
+        peak: float | None = None) -> float | None:
+    """Model FLOPs utilization = achieved FLOPs/s over the chip peak."""
+    if not flops or not latency_s:
+        return None
+    return flops / latency_s / (peak or peak_flops_per_s())
+
+
 def trace_op_breakdown(fn, *args, iters: int = 5, trace_dir: str | None = None,
                        top: int = 20) -> list:
     """Capture a device trace (jax.profiler, the torch.profiler analog —
@@ -120,6 +145,9 @@ def main(argv=None):
                         help="capture a device trace (jax.profiler; the "
                              "torch.profiler analog) and print the top ops "
                              "by device time; optional value = trace dir")
+    parser.add_argument("--peak_tflops", type=float, default=None,
+                        help="chip peak bf16 TFLOPs/s for MFU accounting "
+                             "(default: auto by device kind; v5e = 197)")
     parser.add_argument("--no_host_decorate", action="store_true",
                         help="profile the raw on-device voxelization path "
                              "instead of the loader's host C++ decoration")
@@ -176,10 +204,13 @@ def main(argv=None):
     if fl is not None:
         print(f"forward FLOPs (XLA cost analysis): {fl / 1e9:.2f} G")
     lat = latency(fwd, dv, batch, iters=args.iters)
+    fwd_mfu = mfu(fl, lat["latency_ms"] / 1e3, args.peak_tflops and
+                  args.peak_tflops * 1e12)
     print(f"forward: compile {lat['compile_s']:.1f}s, "
           f"{lat['latency_ms']:.2f} ms/frame, "
-          f"{lat['throughput_fps']:.1f} fps")
-    result = {"params": n_params, "flops": fl, **lat}
+          f"{lat['throughput_fps']:.1f} fps"
+          + (f", MFU {fwd_mfu * 100:.2f}%" if fwd_mfu is not None else ""))
+    result = {"params": n_params, "flops": fl, "mfu": fwd_mfu, **lat}
 
     if args.trace is not None:
         trace_op_breakdown(fwd, dv, batch,
@@ -212,9 +243,17 @@ def main(argv=None):
         per = (time.perf_counter() - t0) / iters
         tlat = {"compile_s": compile_s, "latency_ms": per * 1e3,
                 "throughput_fps": 1.0 / per}
+        tfl = flops_estimate(
+            lambda s, b_, k: step(s, b_, k)[0].params, state, batch,
+            base_key)
+        train_mfu = mfu(tfl, per, args.peak_tflops and
+                        args.peak_tflops * 1e12)
         print(f"train step: compile {tlat['compile_s']:.1f}s, "
               f"{tlat['latency_ms']:.2f} ms/step, "
-              f"{tlat['throughput_fps']:.1f} steps/s")
+              f"{tlat['throughput_fps']:.1f} steps/s"
+              + (f", {tfl / 1e9:.1f} GFLOPs, MFU {train_mfu * 100:.2f}%"
+                 if train_mfu is not None else ""))
+        result.update(train_flops=tfl, train_mfu=train_mfu)
         stats = jax.devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
         if peak:

@@ -164,6 +164,12 @@ def create_bbx(extent):
     return _CORNER_TEMPLATE.astype(np.float64) * 2.0 * e[None, :]
 
 
+def create_bbx_batch(extents: np.ndarray) -> np.ndarray:
+    """(K, 3) half-extents -> (K, 8, 3) corners (batched create_bbx)."""
+    e = np.asarray(extents, dtype=np.float64)
+    return _CORNER_TEMPLATE.astype(np.float64)[None] * 2.0 * e[:, None, :]
+
+
 def corner_to_center(corner3d: np.ndarray, order: str = "lwh") -> np.ndarray:
     """(N, 8, 3) corners -> (N, 7) boxes (parity: box_utils.corner_to_center:25,
     averaging edge lengths and the 4 bottom/top edge yaw estimates)."""

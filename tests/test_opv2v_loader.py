@@ -186,3 +186,145 @@ def test_augmentor_wiring_early(mock_root):
     # cloud was built on the GT vehicle: its centroid tracks the scaled box
     np.testing.assert_allclose(
         mpts[:, :2].mean(axis=0), s["gt_boxes"][0, :2], atol=1.0)
+
+
+def _stamp_params(root, assignment_path):
+    """Heter config in the STAMP yaml_parsers style: m1 and m3 are pillar
+    lidars with DIFFERENT ranges, each carrying its own postprocess block
+    (per-modality anchors; reference opv2v4stamp_basedataset +
+    intermediate_heter_adapter_fusion_dataset.py:90-115)."""
+    m3_range = [-8.0, -4.0, -3.0, 8.0, 4.0, 1.0]
+    params = dict(PARAMS, root_dir=root, validate_dir=root)
+    params["heter"] = {
+        "ego_modality": "m1",
+        "assignment_path": assignment_path,
+        "mapping_dict": {"m1": "m1", "m3": "m3"},
+        "modality_setting": {
+            "m1": {
+                "sensor_type": "lidar",
+                "preprocess": {"cav_lidar_range": list(LIDAR_RANGE)},
+                "postprocess": {
+                    "anchor_args": dict(
+                        PARAMS["postprocess"]["anchor_args"]),
+                    "target_args": {"pos_threshold": 0.6,
+                                    "neg_threshold": 0.45},
+                },
+            },
+            "m3": {
+                "sensor_type": "lidar",
+                "preprocess": {"cav_lidar_range": m3_range},
+                "postprocess": {
+                    "anchor_args": {
+                        "W": 40, "H": 20, "l": 3.9, "w": 1.6, "h": 1.56,
+                        "r": [0, 90], "vw": 0.4, "vh": 0.4,
+                        "cav_lidar_range": m3_range, "feature_stride": 4,
+                    },
+                    "target_args": {"pos_threshold": 0.6,
+                                    "neg_threshold": 0.45},
+                },
+            },
+        },
+    }
+    return params
+
+
+@pytest.fixture(scope="module")
+def stamp_assign(mock_root):
+    import json
+
+    path = os.path.join(mock_root, "stamp_assign.json")
+    with open(path, "w") as f:
+        json.dump({"scenario_00": {"200": "m1", "201": "m3"}}, f)
+    return path
+
+
+def test_stamp_per_modality_range_labels(mock_root, stamp_assign):
+    """Each modality's single labels come from ITS OWN range/anchor grid
+    (VERDICT r1 #10): m1 at the full range (10x20 grid), m3 at a half
+    range (5x10 grid), filled only on that modality's slots."""
+    ds = OPV2VDataset(_stamp_params(mock_root, stamp_assign), train=False,
+                      max_points=2048)
+    s = ds[0]
+    assert s["pos_equal_one_single_m1"].shape == (3, 10, 20, 2)
+    assert s["pos_equal_one_single_m3"].shape == (3, 5, 10, 2)
+    assert s["targets_single_m3"].shape == (3, 5, 10, 14)
+    m1_slots = s["modality_mask_m1"]
+    m3_slots = s["modality_mask_m3"]
+    assert m1_slots.tolist() == [True, False, False]
+    assert m3_slots.tolist() == [False, True, False]
+    # the GT vehicle at ego (6, 0.5) is inside m1's range -> positives on
+    # the m1 slot only
+    assert (s["pos_equal_one_single_m1"][0] > 0).any()
+    assert not (s["pos_equal_one_single_m1"][1] > 0).any()
+    # m3's agent sits at (8, 2) yaw 30: the vehicle is ~2.5 m away in its
+    # own frame -> inside m3's smaller range -> positives on slot 1
+    assert (s["pos_equal_one_single_m3"][1] > 0).any()
+    assert not (s["pos_equal_one_single_m3"][0] > 0).any()
+
+
+@pytest.mark.slow
+def test_stamp_two_range_training(mock_root, stamp_assign):
+    """Hetero STAMP trains through the real loader with two different
+    lidar ranges: per-modality encoders at their own ranges, adapters into
+    the protocol grid, cycle-consistency adapter loss (VERDICT #10 done
+    criterion)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import gencomm_tpu.loss  # noqa: F401 — populates the LOSSES registry
+    from gencomm_tpu.models.heter_baseline import HeterModel
+    from gencomm_tpu.registry import LOSSES
+    from gencomm_tpu.train.trainer import TrainState, make_train_step
+
+    ds = OPV2VDataset(_stamp_params(mock_root, stamp_assign), train=True,
+                      max_points=2048)
+    batch = {k: jnp.asarray(v) for k, v in ds.collate([ds[0]]).items()}
+
+    m3_range = [-8.0, -4.0, -3.0, 8.0, 4.0, 1.0]
+
+    def pillar(rng_):
+        return {
+            "core_method": "point_pillar",
+            "encoder_args": {
+                "voxel_size": [0.4, 0.4, 4.0], "lidar_range": list(rng_),
+                "max_voxels": 2048,
+                "pillar_vfe": {"num_filters": [32], "use_norm": True,
+                               "with_distance": False,
+                               "use_absolute_xyz": True},
+            },
+            "backbone_args": {"layer_nums": [2], "layer_strides": [2],
+                              "num_filters": [48], "upsample_strides": [1],
+                              "num_upsample_filter": [48]},
+            "shrink_header": {"kernal_size": [3], "stride": [2],
+                              "padding": [1], "dim": [64], "input_dim": 48},
+        }
+
+    stamp_cfg = {"core_method": "adapterconvnext",
+                 "args": {"in_channels": 64, "out_channels": 64,
+                          "dim": 32, "num_of_blocks": 1, "kernel_size": 3}}
+    model = HeterModel(
+        modality_args={"m1": pillar(LIDAR_RANGE), "m3": pillar(m3_range)},
+        fusion_method="max", fusion_args={},
+        lidar_range=tuple(map(float, LIDAR_RANGE)),
+        anchor_number=2, in_head=64,
+        use_stamp=True, ego_modality="m1",
+        stamp_args={"m3": {"adapter": stamp_cfg, "reverter": stamp_cfg}},
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=True)
+    crit = LOSSES.get("adapter_loss")({"p2m_weight": 1.0,
+                                       "m2p2m_weight": 1.0,
+                                       "m2p_weight": 1.0})
+    tx = optax.adam(1e-3)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), step=0)
+    step_fn = make_train_step(model, crit, tx)
+    l0 = None
+    for i in range(5):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+        if l0 is None:
+            l0 = float(metrics["total_loss"])
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["total_loss"]) < l0  # cycle loss is shrinking
