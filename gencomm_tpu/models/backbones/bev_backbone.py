@@ -25,6 +25,9 @@ class BEVBackbone(nn.Module):
     num_filters: Sequence[int]
     upsample_strides: Sequence[int] = ()
     num_upsample_filters: Sequence[int] = ()
+    # AMP analog (reference train_ddp.py --half): bf16 conv/BN activations
+    # throughout the backbone; params and BN statistics stay fp32
+    dtype: object = None
 
     def _blocks(self):
         return list(zip(self.layer_nums, self.layer_strides, self.num_filters))
@@ -48,9 +51,10 @@ class BEVBackbone(nn.Module):
             # ZeroPad2d(1)+conv (pad 1); on EVEN grids (the real BEV sizes)
             # stride-2 SAME pads (0,1) and shifts alignment — see ConvBNReLU
             x = ConvBNReLU(filters, kernel=3, stride=stride, torch_pad=True,
-                           name=f"block{i}_0")(x, train)
+                           dtype=self.dtype, name=f"block{i}_0")(x, train)
             for k in range(n_layers):
-                x = ConvBNReLU(filters, kernel=3, name=f"block{i}_{k + 1}")(x, train)
+                x = ConvBNReLU(filters, kernel=3, dtype=self.dtype,
+                               name=f"block{i}_{k + 1}")(x, train)
             feats.append(x)
         return feats
 
@@ -61,11 +65,12 @@ class BEVBackbone(nn.Module):
                 s = self.upsample_strides[i]
                 f = self.num_upsample_filters[i]
                 if s >= 1:
-                    x = DeconvBNReLU(f, stride=int(s), name=f"deblock{i}")(x, train)
+                    x = DeconvBNReLU(f, stride=int(s), dtype=self.dtype,
+                                     name=f"deblock{i}")(x, train)
                 else:
                     x = ConvBNReLU(
                         f, kernel=int(round(1 / s)), stride=int(round(1 / s)),
-                        name=f"deblock{i}",
+                        dtype=self.dtype, name=f"deblock{i}",
                     )(x, train)
             ups.append(x)
         if len(ups) > 1:

@@ -125,7 +125,8 @@ class Who2comFusion(nn.Module):
         )
 
 
-def build_fusion(method: str, args: dict, name: str | None = None) -> nn.Module:
+def build_fusion(method: str, args: dict, name: str | None = None,
+                 half: bool = False) -> nn.Module:
     """Instantiate a fusion module from the hypes model args
     (reference dispatch: heter_model_baseline.py:101-116)."""
     # import for registration side effects
@@ -167,6 +168,7 @@ def build_fusion(method: str, args: dict, name: str | None = None) -> nn.Module:
             pwindow_heads=tuple(cfg.get("pwindow_heads", (16, 8, 4))),
             pwindow_dim_heads=tuple(cfg.get("pwindow_dim_heads", (8, 16, 32))),
             mlp_dim=cfg.get("mlp_dim", 256),
+            half=half or cfg.get("half", False),
             name=name,
         )
     return cls(name=name)

@@ -102,6 +102,10 @@ class WindowAttention(nn.Module):
     heads: int
     dim_head: int
     window_size: int
+    # bf16 attention math (scores + softmax + weighted sum; the --half AMP
+    # analog). Biggest win at the ws=16 scale, whose (tokens x tokens)
+    # score tensor dominates the fusion's HBM traffic.
+    half: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -109,6 +113,8 @@ class WindowAttention(nn.Module):
         ws = self.window_size
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        if self.half:
+            qkv = qkv.astype(jnp.bfloat16)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def windows(t):
@@ -128,10 +134,10 @@ class WindowAttention(nn.Module):
             np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
         ).reshape(2, -1)
         rel = coords[:, :, None] - coords[:, None, :] + ws - 1  # (2, n, n)
-        dots = dots + table[rel[0], rel[1]]
+        dots = dots + table[rel[0], rel[1]].astype(dots.dtype)
 
         attn = nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bmhij,bmhjc->bmhic", attn, v)
+        out = jnp.einsum("bmhij,bmhjc->bmhic", attn, v).astype(jnp.float32)
         b, l = x.shape[0], x.shape[1]
         nh, nw = x.shape[2] // ws, x.shape[3] // ws
         out = rearrange(
@@ -169,11 +175,13 @@ class PyramidWindowAttention(nn.Module):
     # 'split_attn' is the shipped v2xvit config (m1m2m3_v2xvit.yaml
     # fusion_method); 'naive' averages (mswin.py:114-117)
     fuse_method: str = "split_attn"
+    half: bool = False
 
     @nn.compact
     def __call__(self, x):
         outs = [
-            WindowAttention(self.dim, h, dh, ws, name=f"wmsa{i}")(x)
+            WindowAttention(self.dim, h, dh, ws, half=self.half,
+                            name=f"wmsa{i}")(x)
             for i, (h, dh, ws) in enumerate(
                 zip(self.heads, self.dim_heads, self.window_sizes)
             )
@@ -194,6 +202,7 @@ class V2XViTFusion(nn.Module):
     pwindow_heads: Sequence[int] = (16, 8, 4)
     pwindow_dim_heads: Sequence[int] = (8, 16, 32)
     mlp_dim: int = 256
+    half: bool = False
 
     @nn.compact
     def __call__(self, x, affine, agent_mask, train: bool = False):
@@ -216,7 +225,8 @@ class V2XViTFusion(nn.Module):
                 norm2 = nn.LayerNorm(name=f"d{d}b{nb}_win_norm")(feats)
                 feats = feats + PyramidWindowAttention(
                     self.dim, self.pwindow_heads, self.pwindow_dim_heads,
-                    self.window_sizes, name=f"d{d}b{nb}_mswin",
+                    self.window_sizes, half=self.half,
+                    name=f"d{d}b{nb}_mswin",
                 )(norm2)
             ff = nn.LayerNorm(name=f"d{d}_ff_norm")(feats)
             ff = nn.Dense(self.mlp_dim, name=f"d{d}_ff1")(ff)

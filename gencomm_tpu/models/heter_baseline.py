@@ -48,6 +48,8 @@ class ModalityBranch(nn.Module):
     shrink_args: Dict[str, Any]
     core_method: str = "point_pillar"
     encode_only: bool = False  # skip backbone+shrinker (pyramid models)
+    # AMP analog (train_ddp.py --half): bf16 activations in the BEV neck
+    dtype: object = None
 
     @nn.compact
     def __call__(self, inputs: Dict[str, Any], train: bool = False):
@@ -136,14 +138,17 @@ class ModalityBranch(nn.Module):
             num_upsample_filters=tuple(
                 self.backbone_args.get("num_upsample_filter", ())
             ),
+            dtype=self.dtype,
             name="backbone",
         )(flat, train)
         feat = DownsampleConv(
             dims=tuple(self.shrink_args["dim"]),
             kernels=tuple(self.shrink_args["kernal_size"]),
             strides=tuple(self.shrink_args["stride"]),
+            dtype=self.dtype,
             name="shrinker",
         )(feat)
+        feat = feat.astype(jnp.float32)  # fusion/heads stay fp32
         return feat.reshape((b, l) + feat.shape[1:])  # (B, L, H, W, C)
 
 
@@ -210,6 +215,10 @@ class HeterModel(nn.Module):
     # STAMP multi-task: BEV segmentation head on the fused feature
     # (sub_modules/bev_seg_head.py via tools/inference_heter_task.py)
     seg_head_target: str | None = None
+    # AMP analog (reference train_ddp.py:140-141 --half): bf16 activations
+    # in the per-modality BEV necks (params/BN stats fp32, fusion+heads
+    # fp32). Config key model.args.half or the --half train flag.
+    half: bool = False
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False):
@@ -258,6 +267,7 @@ class HeterModel(nn.Module):
                 backbone_args=margs["backbone_args"],
                 shrink_args=margs["shrink_header"],
                 core_method=core,
+                dtype=jnp.bfloat16 if self.half else None,
                 name=f"branch_{mname}",
             )(inputs, train)
             if margs.get("sensor_type", "lidar") == "camera":
@@ -496,7 +506,8 @@ class HeterModel(nn.Module):
                 fused_in = Enhancer(dim=pred.shape[-1], name="enhancer")(fused_in)
             feature = fused_in.reshape((b, l) + hw + (pred.shape[-1],))
 
-        fusion = build_fusion(self.fusion_method, self.fusion_args, name="fusion_net")
+        fusion = build_fusion(self.fusion_method, self.fusion_args,
+                              name="fusion_net", half=self.half)
         fused = fusion(feature, affine, agent_mask, train)
         # the fused BEV feature, exposed for KD distillation (reference
         # point_pillar_disconet.py emits output_dict['feature'] for
@@ -558,6 +569,7 @@ def build_model(hypes: dict) -> HeterModel:
         lidar_range=tuple(args["lidar_range"]),
         anchor_number=args["anchor_number"],
         num_class=int(args.get("num_class", 1)),
+        half=bool(args.get("half", False)),
         dir_bins=args["dir_args"]["num_bins"],
         in_head=args.get("in_head", 128),
         use_gencomm=use_gencomm,

@@ -49,6 +49,7 @@ class ConvBNReLU(nn.Module):
 class DeconvBNReLU(nn.Module):
     features: int
     stride: int = 2
+    dtype: object = None
     # kernel defaults to stride (the reference BEV backbone's k==s deconvs);
     # kernel > stride reproduces torch ConvTranspose2d(k, s, p=(k-1)//2,
     # output_padding=s-1) — the standard "2x upsample" deconv (e.g. SSFA's
@@ -71,8 +72,10 @@ class DeconvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding=pad,
             use_bias=False,
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -83,6 +86,7 @@ class DoubleConv(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -91,9 +95,11 @@ class DoubleConv(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding="SAME",
+            dtype=self.dtype,
         )(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -103,19 +109,22 @@ class DownsampleConv(nn.Module):
     dims: Sequence[int]
     kernels: Sequence[int]
     strides: Sequence[int]
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for k, d, s in zip(self.kernels, self.dims, self.strides):
-            x = DoubleConv(features=d, kernel=k, stride=s)(x)
+            x = DoubleConv(features=d, kernel=k, stride=s,
+                           dtype=self.dtype)(x)
         return x
 
     @staticmethod
-    def from_config(cfg: dict) -> "DownsampleConv":
+    def from_config(cfg: dict, dtype=None) -> "DownsampleConv":
         return DownsampleConv(
             dims=tuple(cfg["dim"]),
             kernels=tuple(cfg["kernal_size"]),  # reference spelling
             strides=tuple(cfg["stride"]),
+            dtype=dtype,
         )
 
 

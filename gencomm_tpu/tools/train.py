@@ -145,6 +145,13 @@ def main(argv=None):
                         help="run inference on the final checkpoint after "
                              "training (reference train.py:218-230 spawns "
                              "inference.py)")
+    parser.add_argument("--workers", type=int, default=0,
+                        help="host-pipeline worker PROCESSES (torch "
+                             "DataLoader num_workers analog); 0 = one "
+                             "producer thread (double buffering)")
+    parser.add_argument("--half", action="store_true",
+                        help="bf16 activations in the BEV necks (the "
+                             "reference's train_ddp.py --half AMP mode)")
     parser.add_argument("--no_host_decorate", action="store_true",
                         help="disable host-side C++ pillar decoration (the "
                              "loader-voxelization analog of the reference's "
@@ -153,6 +160,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     hypes = load_yaml(args.hypes_yaml, args.model_dir)
+    if args.half:
+        hypes["model"]["args"]["half"] = True
     model_dir = args.model_dir or os.path.join(
         "logs", hypes.get("name", "run") + time.strftime("_%m%d_%H%M%S")
     )
@@ -360,17 +369,29 @@ def main(argv=None):
     from gencomm_tpu.train.metrics import MetricsLogger
 
     metrics = MetricsLogger(model_dir)
-    from gencomm_tpu.data.prefetch import prefetch_iter
+    from gencomm_tpu.data.prefetch import multi_worker_iter, prefetch_iter
 
     for epoch in range(start_epoch, epochs):
-        # host pipeline (sample/collate + C++ pillar decoration) runs on a
-        # producer thread, double-buffered against device compute — the
-        # DataLoader num_workers analog (reference train.py:53-85).
+        # host pipeline (sample/collate + C++ pillar decoration) runs off
+        # the training thread — the DataLoader num_workers analog
+        # (reference train.py:53-85): one producer thread by default
+        # (double buffering), or --workers N forked processes sharding the
+        # host work across cores (each worker draws its own seed stream,
+        # exactly like torch's per-worker RNG).
         # NB device_put must stay on the main thread: concurrent transfers
         # from the producer thread deadlock the remote TPU backend.
-        gen = prefetch_iter(
-            map(adapt, batches(dataset, batch_size, epoch, args.dataset))
-        )
+        if args.workers > 0:
+            ep = epoch
+
+            def _make_iter(w, _ep=ep):
+                return map(adapt, batches(
+                    dataset, batch_size, _ep * 100 + w, args.dataset))
+
+            gen = multi_worker_iter(_make_iter, args.workers)
+        else:
+            gen = prefetch_iter(
+                map(adapt, batches(dataset, batch_size, epoch, args.dataset))
+            )
         # one host key per epoch; the step folds state.step in on-device
         epoch_key = jax.random.PRNGKey(epoch * 100003)
         tick, tick_it = None, 0

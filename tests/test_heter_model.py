@@ -82,3 +82,4 @@ def test_hetero_pillar_plus_second_gencomm(hetero_batch):
     assert "branch_m2" in variables["params"]
     assert "message_extractor_m1" in variables["params"]
     assert "message_extractor_m2" in variables["params"]
+

@@ -148,3 +148,26 @@ def test_missing_message_eval_mode(tiny_batch):
         )
     )(variables, batch)
     assert bool(jnp.isfinite(out["cls_preds"]).all())
+
+
+def test_half_mode_matches_fp32(tiny_batch):
+    """--half (bf16 BEV necks, the reference train_ddp.py --half AMP
+    analog): predictions stay close to fp32 and params/BN stats stay
+    fp32."""
+    scenes, batch = tiny_batch
+    f32 = _model()
+    bf16 = _model(half=True)
+    v = f32.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out32 = f32.apply(v, batch, train=False)
+    out16 = bf16.apply(v, batch, train=False)
+    c32 = np.asarray(out32["cls_preds"], np.float32)
+    c16 = np.asarray(out16["cls_preds"], np.float32)
+    assert c16.dtype == np.float32
+    # bf16 has ~3 decimal digits; logits are O(1)
+    assert np.max(np.abs(c32 - c16)) < 0.15
+    assert np.corrcoef(c32.ravel(), c16.ravel())[0, 1] > 0.999
+    # params untouched (shared init), BN stats fp32 when training
+    outs, mut = bf16.apply(v, batch, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    for leaf in jax.tree_util.tree_leaves(mut["batch_stats"]):
+        assert leaf.dtype == jnp.float32

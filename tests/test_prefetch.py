@@ -97,3 +97,32 @@ def test_init_cache_roundtrip(tmp_path, monkeypatch):
     # different seed → different cache entry
     trainer.cpu_init(Tiny(), batch, jax.random.PRNGKey(1))
     assert len(list(tmp_path.glob("init_*.npz"))) == 2
+
+
+def test_multi_worker_iter_yields_all_batches():
+    from gencomm_tpu.data.prefetch import multi_worker_iter
+
+    def make_iter(w):
+        import numpy as np
+        for i in range(5):
+            yield {"w": w, "i": i, "x": np.full((4,), w * 10 + i)}
+
+    got = list(multi_worker_iter(make_iter, num_workers=3))
+    assert len(got) == 15
+    seen = {(g["w"], g["i"]) for g in got}
+    assert seen == {(w, i) for w in range(3) for i in range(5)}
+
+
+def test_multi_worker_iter_closes_cleanly():
+    from gencomm_tpu.data.prefetch import multi_worker_iter
+
+    def make_iter(w):
+        i = 0
+        while True:  # infinite producer
+            yield i
+            i += 1
+
+    it = multi_worker_iter(make_iter, num_workers=2)
+    vals = [next(it) for _ in range(10)]
+    assert len(vals) == 10
+    it.close()
