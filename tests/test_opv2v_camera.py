@@ -152,7 +152,8 @@ def _params(root, assignment_path, label_type="lidar", with_depth=True):
                 "r": [0, 90], "vw": 0.4, "vh": 0.4,
                 "cav_lidar_range": LIDAR_RANGE, "feature_stride": 4,
             },
-            "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45},
+            "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                            "score_threshold": 0.2},
         },
     }
 
@@ -370,6 +371,21 @@ def test_train_cli_camera_through_real_loader(cam_root, tmp_path):
                     "--dataset", "opv2v", "--epochs", "1",
                     "--steps_per_epoch", "2", "--val_steps", "1"])
     assert checkpoint.latest_checkpoint(model_dir) is not None
+
+    # full AP eval through the real loader (inference.py parity: decode +
+    # NMS + VOC AP, both global-sort and per-frame variants written)
+    from gencomm_tpu.tools import inference as infer_cli
+
+    infer_cli.main(["--model_dir", model_dir, "--dataset", "opv2v",
+                    "--frames", "2"])
+    import glob
+
+    evals = sorted(glob.glob(os.path.join(model_dir, "eval*.yaml")))
+    assert len(evals) >= 2  # per-frame + global-sort
+    for p in evals:
+        res = yaml.safe_load(open(p))
+        for t in ("30", "50", "70"):
+            assert 0.0 <= float(res[f"ap{t}"]) <= 1.0
 
 
 def test_lss_model_forward_on_real_loader(cam_root):
