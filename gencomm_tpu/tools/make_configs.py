@@ -950,7 +950,8 @@ def main(argv=None):
         emit("dairv2x", single_pretrain_config("dairv2x", tag, DAIR_RANGE),
              subdir="single", fname=fname)
 
-    # v2xset (reference: 18): fusion family + gencomm
+    # v2xset (reference: 18): lidar/camera fusion families + HEAL
+    # protocol + single pretrains + gencomm
     for method in FUSION_EXTRAS:
         emit("v2xset",
              intermediate_fusion_config("v2xset", method, LIDAR_RANGE))
@@ -958,12 +959,44 @@ def main(argv=None):
     emit("v2xset", hetero_method_config("v2xset", "gencomm_stage2",
                                         LIDAR_RANGE),
          fname="gencomm_stage2_m1m2")
+    for method in ("att", "coalign"):
+        cfg = intermediate_fusion_config(
+            "v2xset", method, LIDAR_RANGE, tag="m2",
+            name=f"v2xset_camera_{method}")
+        emit("v2xset", cfg, subdir="camera_only", fname=f"camera_{method}")
+    emit("v2xset",
+         pyramid_config("v2xset", LIDAR_RANGE, collab=True, tag="m2",
+                        name="v2xset_camera_pyramid"),
+         subdir="camera_only", fname="camera_pyramid")
+    emit("v2xset",
+         pyramid_config("v2xset", LIDAR_RANGE, collab=True,
+                        name="v2xset_lidar_pyramid"),
+         fname="lidar_pyramid")
+    emit("v2xset",
+         pyramid_config("v2xset", LIDAR_RANGE, collab=True, tag="m1",
+                        name="v2xset_heal_stage1_m1_pyramid"),
+         subdir="heal/stage1", fname="m1_pyramid")
+    for tag in ("m2", "m3", "m4"):
+        emit("v2xset",
+             pyramid_config("v2xset", LIDAR_RANGE, collab=False, tag=tag,
+                            name=f"v2xset_heal_stage2_{tag}_single"),
+             subdir="heal/stage2", fname=f"{tag}_single_pyramid")
+    emit("v2xset",
+         pyramid_collab_multi_config("v2xset", LIDAR_RANGE,
+                                     tags=("m1", "m2", "m3", "m4"),
+                                     name="v2xset_heal_final_m1m2m3m4"),
+         subdir="heal/final_infer", fname="m1m2m3m4")
+    for tag in ("m1", "m2", "m3", "m4"):
+        emit("v2xset", single_pretrain_config("v2xset", tag, LIDAR_RANGE),
+             subdir="single", fname=f"{tag}_pretrain")
 
-    # v2xsim (reference: 6)
-    for method in ("att", "max", "v2xvit", "disconet"):
+    # v2xsim (reference: 6 incl. single + visualization)
+    for method in ("att", "max", "v2xvit", "disconet", "cobevt"):
         emit("v2xsim",
              intermediate_fusion_config("v2xsim", method, LIDAR_RANGE))
     emit("v2xsim", gencomm_stage1_config("v2xsim", "m1", LIDAR_RANGE))
+    emit("v2xsim", single_pretrain_config("v2xsim", "m1", LIDAR_RANGE),
+         subdir="single", fname="m1_pointpillar")
 
     # v2xreal (reference: 27): the GenComm protocol over four pillar-lidar
     # agent types with the multi-class schema (v2xreal_ify), plus the
