@@ -122,6 +122,11 @@ def main(argv=None):
             variables.get("batch_stats", {}), restored.get("batch_stats", {})
         ),
     }
+    num_class = int(hypes["postprocess"].get("num_class", 1))
+    if num_class > 1:
+        return _multiclass_eval(args, hypes, dataset, model, variables,
+                                num_class)
+
     pipe = InferencePipeline(model, variables, anchors, hypes["postprocess"])
 
     stat = eval_utils.new_result_stat()
@@ -215,6 +220,82 @@ def main(argv=None):
         save_yaml(res, os.path.join(args.model_dir, f"{tag}.yaml"))
         print(tag, {k: round(v, 4) for k, v in res.items()})
     return res
+
+
+def _multiclass_eval(args, hypes, dataset, model, variables, num_class):
+    """V2X-Real multi-class evaluation: per anchor-class decode + NMS,
+    per-class VOC AP and mAP (reference tools/inference_v2xreal.py +
+    eval_utils.eval_final_results_v2xreal:349-383)."""
+    from gencomm_tpu.data.postprocessor import (
+        decode_and_nms_multiclass, generate_anchor_box_multiclass,
+    )
+    from gencomm_tpu.data.v2xreal import CLASS_NAMES
+
+    pp = hypes["postprocess"]
+    anchors_mc, _, _, class_names = generate_anchor_box_multiclass(
+        pp["anchor_args"], pp.get("order", "hwl"))
+    if len(class_names) != num_class:
+        class_names = list(CLASS_NAMES)[:num_class]
+    gt_range = jnp.asarray(pp["gt_range"], jnp.float32)
+    anchors_j = jnp.asarray(anchors_mc)
+    score_thr = pp["target_args"].get("score_threshold", 0.2)
+    nms_thr = pp.get("nms_thresh", 0.15)
+
+    @jax.jit
+    def run(v, batch, rng):
+        out = model.apply(
+            v, batch, train=False,
+            rngs={"diffusion": rng, "dropout": jax.random.fold_in(rng, 7)},
+        )
+        return decode_and_nms_multiclass(
+            out["cls_preds"][0], out["reg_preds"][0], anchors_j,
+            jnp.eye(4), gt_range,
+            score_threshold=score_thr, nms_thresh=nms_thr,
+        )
+
+    from gencomm_tpu.data.bucketing import trim_agent_slots
+
+    stats = eval_utils.new_multiclass_stat(class_names)
+    n = args.frames if args.dataset == "synthetic" else min(
+        args.frames, len(dataset))
+    for f in range(n):
+        if args.dataset == "synthetic":
+            host = dataset.sample(1000 + f, 1)
+        else:
+            host = dataset.collate([dataset[f]])
+        host = trim_agent_slots(host, buckets=(2, 3, 5))
+        batch = {k: jnp.asarray(v) for k, v in host.items()}
+        dets = run(variables, batch, jax.random.PRNGKey(f))
+        valid = np.asarray(dets.valid)
+        corners = np.asarray(dets.corners3d)[valid]
+        scores = np.asarray(dets.scores)[valid]
+        labels = np.asarray(dets.labels)[valid]
+        gt_boxes = host["gt_boxes"][0][host["gt_mask"][0] == 1]
+        gt_cls = np.asarray(host["gt_classes"][0])[
+            host["gt_mask"][0] == 1] if "gt_classes" in host else \
+            np.ones(len(gt_boxes), np.int32)
+        gtc = box_utils.boxes_to_corners_3d(gt_boxes, pp.get("order", "hwl"))
+        for ci, cname in enumerate(class_names):
+            csel = labels == ci + 1
+            gsel = gt_cls == ci + 1
+            for t in (0.3, 0.5, 0.7):
+                eval_utils.calculate_tp_fp(
+                    corners[csel], scores[csel], gtc[gsel],
+                    stats[cname], t)
+    res = eval_utils.eval_multiclass_results(stats)
+    flat = {}
+    for k, v in res.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                flat[f"{k}_{kk}"] = float(vv)
+        else:
+            flat[k] = float(v)
+    tag = "eval_multiclass"
+    if args.infer_info:
+        tag += f"_{args.infer_info}"
+    save_yaml(flat, os.path.join(args.model_dir, f"{tag}.yaml"))
+    print(tag, {k: round(v, 4) for k, v in flat.items()})
+    return flat
 
 
 if __name__ == "__main__":

@@ -145,6 +145,12 @@ def main(argv=None):
                         help="run inference on the final checkpoint after "
                              "training (reference train.py:218-230 spawns "
                              "inference.py)")
+    parser.add_argument("--batch_pool", type=int, default=0,
+                        help="pre-generate N batches per epoch and cycle "
+                             "through them - makes data-generation-bound "
+                             "smoke runs (synthetic camera rendering on a "
+                             "1-core host) device-bound; eval still draws "
+                             "fresh scenes")
     parser.add_argument("--workers", type=int, default=0,
                         help="host-pipeline worker PROCESSES (torch "
                              "DataLoader num_workers analog); 0 = one "
@@ -380,7 +386,14 @@ def main(argv=None):
         # exactly like torch's per-worker RNG).
         # NB device_put must stay on the main thread: concurrent transfers
         # from the producer thread deadlock the remote TPU backend.
-        if args.workers > 0:
+        if args.batch_pool > 0:
+            import itertools
+
+            src_it = map(adapt,
+                         batches(dataset, batch_size, epoch, args.dataset))
+            pool = [next(src_it) for _ in range(args.batch_pool)]
+            gen = prefetch_iter(itertools.cycle(pool))
+        elif args.workers > 0:
             ep = epoch
 
             def _make_iter(w, _ep=ep):

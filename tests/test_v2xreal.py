@@ -466,3 +466,75 @@ def test_e2e_train_and_multiclass_ap(v2xreal_root):
     assert res["vehicle"]["ap30"] > 0.6
     assert res["truck"]["ap30"] > 0.6
     assert res["map30"] >= 0  # pedestrian class empty -> 0 contribution
+
+
+@pytest.mark.slow
+def test_v2xreal_cli_train_and_multiclass_inference(v2xreal_root, tmp_path):
+    """Reference tools/inference_v2xreal.py parity: the train CLI runs on
+    the V2X-Real fixture and the inference CLI takes the multiclass branch
+    (per anchor-class decode -> per-class VOC AP + mAP yaml)."""
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.tools import inference as infer_cli
+
+    base = _params(v2xreal_root)
+    hypes = {
+        "name": "v2xreal_e2e",
+        **{k: base[k] for k in ("root_dir", "validate_dir", "dataset_mode",
+                                "comm_range", "input_source", "label_type")},
+        "train_params": {"max_cav": 3, "batch_size": 1, "epoches": 1,
+                         "save_freq": 1},
+        "preprocess": {"core_method": "SpVoxelPreprocessor",
+                       "args": {"voxel_size": [0.4, 0.4, 4.0]},
+                       "cav_lidar_range": list(LIDAR_RANGE)},
+        "postprocess": dict(base["postprocess"], **{
+            "core_method": "VoxelPostprocessor",
+            "num_class": 3,
+            "dir_args": {"dir_offset": 0.7853, "num_bins": 2,
+                         "anchor_yaw": [0, 90]},
+        }),
+        "model": {"core_method": "heter_model_baseline", "args": {
+            "ego_modality": "m1",
+            "lidar_range": list(map(float, LIDAR_RANGE)),
+            "num_class": 3,
+            "m1": {
+                "core_method": "point_pillar", "sensor_type": "lidar",
+                "encoder_args": {
+                    "voxel_size": [0.4, 0.4, 4.0],
+                    "lidar_range": list(map(float, LIDAR_RANGE)),
+                    "pillar_vfe": {"use_norm": True, "num_filters": [32]},
+                },
+                "backbone_args": {"layer_nums": [1], "layer_strides": [2],
+                                  "num_filters": [32],
+                                  "upsample_strides": [1],
+                                  "num_upsample_filter": [32]},
+                "shrink_header": {"kernal_size": [3], "stride": [2],
+                                  "padding": [1], "dim": [64],
+                                  "input_dim": 32},
+            },
+            "fusion_method": "max",
+            "in_head": 64, "anchor_number": 2,
+            "dir_args": {"dir_offset": 0.7853, "num_bins": 2,
+                         "anchor_yaw": [0, 90]},
+        }},
+        "loss": {"core_method": "point_pillar_v2xreal_loss",
+                 "args": {"num_class": 3, "cls_weight": 1.0, "reg": 2.0}},
+        "optimizer": {"core_method": "Adam", "lr": 0.002,
+                      "args": {"eps": 1e-10, "weight_decay": 1e-4}},
+        "lr_scheduler": {"core_method": "constant"},
+    }
+    cfg = tmp_path / "v2xreal_e2e.yaml"
+    cfg.write_text(yaml.safe_dump(hypes))
+    model_dir = str(tmp_path / "v2xreal_run")
+    from gencomm_tpu.train import checkpoint
+
+    train_cli.main(["-y", str(cfg), "--model_dir", model_dir,
+                    "--dataset", "v2xreal", "--epochs", "1",
+                    "--steps_per_epoch", "2", "--val_steps", "1"])
+    assert checkpoint.latest_checkpoint(model_dir) is not None
+    res = infer_cli.main(["--model_dir", model_dir, "--dataset", "v2xreal",
+                          "--frames", "1"])
+    assert set(res) >= {"vehicle_ap30", "pedestrian_ap30", "truck_ap30",
+                        "map30", "map50", "map70"}
+    for v in res.values():
+        assert 0.0 <= v <= 1.0
+    assert os.path.exists(os.path.join(model_dir, "eval_multiclass.yaml"))
