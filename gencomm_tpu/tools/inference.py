@@ -263,6 +263,14 @@ def _multiclass_eval(args, hypes, dataset, model, variables, num_class):
             host = dataset.sample(1000 + f, 1)
         else:
             host = dataset.collate([dataset[f]])
+        if args.use_cav:
+            # agents-join-in-order sweeps (inference_v2xreal_heter_in_order)
+            host = dict(host)
+            for k in list(host):
+                if k == "agent_mask" or k.startswith("modality_mask_"):
+                    mm = host[k].copy()
+                    mm[:, args.use_cav:] = False
+                    host[k] = mm
         host = trim_agent_slots(host, buckets=(2, 3, 5))
         batch = {k: jnp.asarray(v) for k, v in host.items()}
         dets = run(variables, batch, jax.random.PRNGKey(f))

@@ -538,3 +538,11 @@ def test_v2xreal_cli_train_and_multiclass_inference(v2xreal_root, tmp_path):
     for v in res.values():
         assert 0.0 <= v <= 1.0
     assert os.path.exists(os.path.join(model_dir, "eval_multiclass.yaml"))
+    # agents-in-order sweep drives the same multiclass branch with the
+    # agent mask capped (inference_v2xreal_heter_in_order parity)
+    res1 = infer_cli.main(["--model_dir", model_dir, "--dataset", "v2xreal",
+                           "--frames", "1", "--use_cav", "1",
+                           "--infer_info", "in_order_1cav"])
+    assert "map30" in res1
+    assert os.path.exists(
+        os.path.join(model_dir, "eval_multiclass_in_order_1cav.yaml"))
