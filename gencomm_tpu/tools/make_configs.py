@@ -20,7 +20,18 @@ import yaml
 
 
 LIDAR_RANGE = [-102.4, -51.2, -3, 102.4, 51.2, 1]
+# camera-ego configs use a SQUARE range matched to the camera depth reach
+# (reference GenComm_yamls/gencomm/stage1/m2_att.yaml:25 / CameraOnly/*:
+# [-51.2, -51.2, -3, 51.2, 51.2, 1]); DAIR camera configs keep the wide
+# asymmetric range (dairv2x/CameraOnly/camera_attfuse.yaml:18)
+CAMERA_RANGE = [-51.2, -51.2, -3, 51.2, 51.2, 1]
 DAIR_RANGE = [-100.8, -40, -3.5, 100.8, 40, 1.5]
+
+
+def range_for(tag, dataset, lidar_range):
+    if tag in ("m2", "m4") and dataset in ("opv2v", "v2xset", "v2xsim"):
+        return CAMERA_RANGE
+    return lidar_range
 VOXEL = [0.4, 0.4, 4]
 DIR_ARGS = {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]}
 
@@ -261,6 +272,7 @@ def intermediate_fusion_config(dataset, method, lidar_range, tag="m1",
     (m1 pillar / m2 LSS / m3 SECOND / m4 deep LSS); ``method`` is one of
     FUSION_EXTRAS or 'coalign' (att fusion + SE2 box-alignment block,
     reference LiDAROnly/lidar_coalign.yaml + box_align_v2.py)."""
+    lidar_range = range_for(tag, dataset, lidar_range)
     cfg = base_config(name or f"{dataset}_point_pillar_{method}", dataset,
                       lidar_range)
     fus = "att" if method == "coalign" else method
@@ -451,6 +463,7 @@ def pyramid_config(dataset, lidar_range, collab=True, tag="m1", name=None):
     # key modality_setting/model args by the true type (m2_single_pyramid
     # .yaml:22-31 uses m2), so stage-2 branches merge into the collab base
     # without a rename pass
+    lidar_range = range_for(tag, dataset, lidar_range)
     cfg = base_config(
         name or f"{dataset}_heal_pyramid_{'collab' if collab else 'single'}",
         dataset, lidar_range)
