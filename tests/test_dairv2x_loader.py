@@ -295,3 +295,110 @@ def test_dair_camera_loading(dair_root):
     # lidar side untouched
     assert s["point_mask_m1"][0].sum() > 0
     assert s["point_mask_m1"][1].sum() == 0
+
+
+@pytest.mark.slow
+def test_dair_hetero_train_cli(dair_root, tmp_path):
+    """Hetero DAIR training runs end-to-end through the real loader (ego
+    swap + single-label IoU merge feeding the padded batches) via the
+    train CLI."""
+    import yaml
+
+    from gencomm_tpu.tools import train as train_cli
+    from gencomm_tpu.train import checkpoint
+
+    rng6 = [-32.0, -16.0, -3.0, 32.0, 16.0, 1.0]
+    hypes = {
+        "name": "dair_heter_e2e",
+        "data_dir": dair_root,
+        "root_dir": os.path.join(dair_root, "split.json"),
+        "validate_dir": os.path.join(dair_root, "split.json"),
+        "train_params": {"batch_size": 1, "epoches": 1, "save_freq": 1,
+                         "max_cav": 2},
+        "input_source": ["lidar"],
+        "label_type": "lidar",
+        "comm_range": 100,
+        "heter": {"ego_modality": "m1",
+                  "mapping_dict": {"m1": "m1", "m2": "m2"},
+                  "modality_setting": {"m1": {"sensor_type": "lidar"},
+                                       "m2": {"sensor_type": "lidar"}}},
+        "preprocess": {"core_method": "SpVoxelPreprocessor",
+                       "args": {"voxel_size": [0.4, 0.4, 4.0]},
+                       "cav_lidar_range": list(rng6)},
+        "postprocess": {
+            "core_method": "VoxelPostprocessor",
+            "max_num": 20, "order": "hwl", "nms_thresh": 0.15,
+            "gt_range": list(rng6),
+            "anchor_args": {"cav_lidar_range": list(rng6),
+                            "l": 3.9, "w": 1.6, "h": 1.56, "r": [0, 90],
+                            "vw": 0.4, "vh": 0.4, "W": 160, "H": 80,
+                            "feature_stride": 4, "num": 2},
+            "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                            "score_threshold": 0.2},
+            "dir_args": {"dir_offset": 0.7853, "num_bins": 2,
+                         "anchor_yaw": [0, 90]},
+        },
+        "model": {"core_method": "heter_model_baseline", "args": {
+            "ego_modality": "m1",
+            "lidar_range": list(rng6),
+            "supervise_single": True,
+            "m1": {
+                "core_method": "point_pillar", "sensor_type": "lidar",
+                "encoder_args": {
+                    "voxel_size": [0.4, 0.4, 4.0],
+                    "lidar_range": list(rng6),
+                    "pillar_vfe": {"use_norm": True, "num_filters": [32]},
+                },
+                "backbone_args": {"layer_nums": [1], "layer_strides": [2],
+                                  "num_filters": [32],
+                                  "upsample_strides": [1],
+                                  "num_upsample_filter": [32]},
+                "shrink_header": {"kernal_size": [3], "stride": [2],
+                                  "padding": [1], "dim": [64],
+                                  "input_dim": 32},
+            },
+            "m2": {
+                "core_method": "point_pillar", "sensor_type": "lidar",
+                "encoder_args": {
+                    "voxel_size": [0.4, 0.4, 4.0],
+                    "lidar_range": list(rng6),
+                    "pillar_vfe": {"use_norm": True, "num_filters": [32]},
+                },
+                "backbone_args": {"layer_nums": [1], "layer_strides": [2],
+                                  "num_filters": [32],
+                                  "upsample_strides": [1],
+                                  "num_upsample_filter": [32]},
+                "shrink_header": {"kernal_size": [3], "stride": [2],
+                                  "padding": [1], "dim": [64],
+                                  "input_dim": 32},
+            },
+            "fusion_method": "max",
+            "in_head": 64, "anchor_number": 2,
+            "dir_args": {"dir_offset": 0.7853, "num_bins": 2,
+                         "anchor_yaw": [0, 90]},
+        }},
+        "loss": {"core_method": "point_pillar_loss", "args": {
+            "pos_cls_weight": 2.0,
+            "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+            "reg": {"sigma": 3.0, "weight": 2.0},
+            "dir": {"weight": 0.2,
+                    "args": {"dir_offset": 0.7853, "num_bins": 2,
+                             "anchor_yaw": [0, 90]}},
+        }},
+        "optimizer": {"core_method": "Adam", "lr": 0.002,
+                      "args": {"eps": 1e-10, "weight_decay": 1e-4}},
+        "lr_scheduler": {"core_method": "constant"},
+    }
+    cfg = tmp_path / "dair_heter.yaml"
+    cfg.write_text(yaml.safe_dump(hypes))
+    model_dir = str(tmp_path / "dair_run")
+    train_cli.main(["-y", str(cfg), "--model_dir", model_dir,
+                    "--dataset", "dairv2x", "--epochs", "1",
+                    "--steps_per_epoch", "1", "--val_steps", "1"])
+    assert checkpoint.latest_checkpoint(model_dir) is not None
+
+    from gencomm_tpu.tools import inference as infer_cli
+
+    res = infer_cli.main(["--model_dir", model_dir, "--dataset", "dairv2x",
+                          "--frames", "1"])
+    assert 0.0 <= res["ap30"] <= 1.0
