@@ -84,6 +84,11 @@ class CamEncoder(nn.Module):
     # trunk is pure conv — the MXU's native precision — and its activations
     # dominate the camera path's HBM traffic. Heads are cast back to fp32.
     bf16: bool = False
+    # "tpu" = the patchify stack below (default, TPU-first redesign);
+    # "efficientnet-b0" / "resnet101" = reference-exact trunks
+    # (camera_trunks.py) for weight-transplanting the reference's pretrained
+    # CamEncode / CamEncode_Resnet101 (lss_submodule.py:53/:158)
+    trunk: str = "tpu"
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -91,19 +96,34 @@ class CamEncoder(nn.Module):
         # imgs: (N, H, W, 3)
         if dt is not None:
             imgs = imgs.astype(dt)
-        # patchify stem: one 4x4/s4 conv to stride 4 (vs the classic
-        # conv7/s2 + maxpool ResNet stem, whose 1/2-resolution 64-ch
-        # activation dominated the trunk's HBM traffic in the device trace —
-        # stride-4 patch embedding writes 1/16 of that and feeds the same
-        # 1/4-res grid to the residual stack)
-        x = ConvBNReLU(64, kernel=4, stride=4, dtype=dt)(imgs, train)
-        x = ResBlock(128, stride=1, dtype=dt)(x, train)
-        for _ in range(self.trunk_blocks - 1):
-            x = ResBlock(128, dtype=dt)(x, train)
-        x = ResBlock(256, stride=2, dtype=dt)(x, train)
-        for _ in range(self.trunk_blocks - 1):
-            x = ResBlock(256, dtype=dt)(x, train)
-        x = ConvBNReLU(512, kernel=3, dtype=dt)(x, train)
+        if self.trunk == "efficientnet-b0":
+            from gencomm_tpu.models.encoders.camera_trunks import (
+                EfficientNetB0Features,
+            )
+
+            x = EfficientNetB0Features(dtype=dt, name="trunk")(imgs, train)
+        elif self.trunk == "resnet101":
+            from gencomm_tpu.models.encoders.camera_trunks import (
+                ResNet101L2Features,
+            )
+
+            x = ResNet101L2Features(dtype=dt, name="trunk")(imgs, train)
+        elif self.trunk == "tpu":
+            # patchify stem: one 4x4/s4 conv to stride 4 (vs the classic
+            # conv7/s2 + maxpool ResNet stem, whose 1/2-resolution 64-ch
+            # activation dominated the trunk's HBM traffic in the device
+            # trace — stride-4 patch embedding writes 1/16 of that and feeds
+            # the same 1/4-res grid to the residual stack)
+            x = ConvBNReLU(64, kernel=4, stride=4, dtype=dt)(imgs, train)
+            x = ResBlock(128, stride=1, dtype=dt)(x, train)
+            for _ in range(self.trunk_blocks - 1):
+                x = ResBlock(128, dtype=dt)(x, train)
+            x = ResBlock(256, stride=2, dtype=dt)(x, train)
+            for _ in range(self.trunk_blocks - 1):
+                x = ResBlock(256, dtype=dt)(x, train)
+            x = ConvBNReLU(512, kernel=3, dtype=dt)(x, train)
+        else:
+            raise ValueError(f"unknown img_trunk {self.trunk!r}")
         depth_logits = nn.Conv(self.depth_bins, (1, 1), name="depth_head",
                                dtype=dt)(x)
         feats = nn.Conv(self.feat_ch, (1, 1), name="image_head", dtype=dt)(x)
@@ -135,6 +155,9 @@ class LSSEncoder(nn.Module):
     downsample: int = 8
     feat_ch: int = 128
     trunk_blocks: int = 2
+    # image trunk selector (encoder_args img_trunk): "tpu" |
+    # "efficientnet-b0" | "resnet101" — see CamEncoder.trunk
+    trunk: str = "tpu"
     # Keep only the K most probable depth bins per pixel at splat time
     # (renormalized), instead of scattering all D bins — a BEVPool-style
     # sparsification that shrinks the scatter 6x at K=8, D=48 and avoids
@@ -162,6 +185,7 @@ class LSSEncoder(nn.Module):
         self.cam_encode = CamEncoder(
             depth_bins=len(self.depth_centers), feat_ch=self.feat_ch,
             trunk_blocks=self.trunk_blocks, bf16=self.trunk_bf16,
+            trunk=self.trunk,
         )
 
     def _frustum(self):

@@ -65,6 +65,7 @@ class ModalityBranch(nn.Module):
                 downsample=self.encoder_args.get("img_downsample", 8),
                 feat_ch=self.encoder_args.get("img_features", 128),
                 trunk_blocks=self.encoder_args.get("trunk_blocks", 2),
+                trunk=self.encoder_args.get("img_trunk", "tpu"),
                 depth_topk=self.encoder_args.get("depth_topk", 0),
                 trunk_bf16=self.encoder_args.get("trunk_bf16", False),
                 splat_bf16=self.encoder_args.get("splat_bf16", False),

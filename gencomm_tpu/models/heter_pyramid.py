@@ -154,6 +154,7 @@ class HeterPyramidModel(nn.Module):
                 downsample=margs["encoder_args"].get("img_downsample", 8),
                 feat_ch=margs["encoder_args"].get("img_features", 128),
                 trunk_blocks=margs["encoder_args"].get("trunk_blocks", 2),
+                trunk=margs["encoder_args"].get("img_trunk", "tpu"),
                 depth_topk=margs["encoder_args"].get("depth_topk", 0),
                 trunk_bf16=margs["encoder_args"].get("trunk_bf16", False),
                 name=f"encoder_{mname}",
