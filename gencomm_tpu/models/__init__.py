@@ -75,14 +75,27 @@ def create_model(hypes: dict):
 
         return build_pyramid_model(hypes)
     if core.startswith("center_point"):
+        modality_args = {"m1": args["m1"]} if "m1" in args else {
+            "m1": {"encoder_args": args["pillar_vfe_args"],
+                   "backbone_args": args["base_bev_backbone"],
+                   "shrink_header": args["shrink_header"]}
+        }
+        if "where2comm" in core:
+            # center_point_where2comm.py:46-47: fusion_net = Where2comm
+            # (fusion_args carries multi_scale / communication / agg mode)
+            from gencomm_tpu.models.center_point import CenterPointWhere2comm
+
+            return CenterPointWhere2comm(
+                modality_args=modality_args,
+                lidar_range=tuple(args["lidar_range"]),
+                fusion_args=args.get("fusion_args", {}),
+                out_size_factor=args.get("out_size_factor", 4),
+                voxel_size=tuple(args.get("voxel_size", (0.4, 0.4, 4.0))),
+            )
         from gencomm_tpu.models.center_point import CenterPointModel
 
         return CenterPointModel(
-            modality_args={"m1": args["m1"]} if "m1" in args else {
-                "m1": {"encoder_args": args["pillar_vfe_args"],
-                       "backbone_args": args["base_bev_backbone"],
-                       "shrink_header": args["shrink_header"]}
-            },
+            modality_args=modality_args,
             lidar_range=tuple(args["lidar_range"]),
             out_size_factor=args.get("out_size_factor", 4),
             voxel_size=tuple(args.get("voxel_size", (0.4, 0.4, 4.0))),

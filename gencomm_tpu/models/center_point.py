@@ -87,6 +87,139 @@ class CenterPointModel(nn.Module):
         )
 
 
+@MODELS.register("center_point_where2comm")
+class CenterPointWhere2comm(nn.Module):
+    """CenterPoint detector with Where2comm confidence-driven fusion.
+
+    Parity: opencood/models/center_point_where2comm.py —
+      encoder -> backbone -> shrink -> single-agent heads (:106-123),
+      Where2comm fusion (multi_scale re-runs the SAME backbone on
+      communication-masked features and fuses per level, :126-139;
+      single-scale masks + fuses the shrunk feature), then the SAME heads
+      on the fused map (:143-144). Heads and backbone params are shared
+      between the single and fused passes (flax: one module instance,
+      two calls).
+    """
+
+    modality_args: Dict[str, Any]
+    lidar_range: Tuple[float, float, float, float, float, float]
+    fusion_args: Dict[str, Any] | None = None
+    out_size_factor: int = 4
+    voxel_size: Tuple[float, float, float] = (0.4, 0.4, 4.0)
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False):
+        from gencomm_tpu.models.fuse.where2comm import (
+            Communication, where2comm_multi_scale, Where2commFusion,
+        )
+
+        fargs = self.fusion_args or {}
+        comm_cfg = fargs.get("communication", {})
+        smooth_cfg = comm_cfg.get("gaussian_smooth", {})
+        agg_mode = fargs.get("agg_operator", {}).get("mode", "ATTEN")
+        multi_scale = bool(fargs.get("multi_scale", False))
+
+        margs = self.modality_args["m1"]
+        agent_mask = batch["agent_mask"]
+        b, l = agent_mask.shape
+        branch = ModalityBranch(
+            encoder_args=margs["encoder_args"],
+            backbone_args=margs["backbone_args"],
+            shrink_args=margs["shrink_header"],
+            core_method="point_pillar",
+            encode_only=True,
+            name="branch_m1",
+        )
+        canvas, _ = branch(
+            {"points": batch["points_m1"],
+             "point_mask": batch["point_mask_m1"]}, train)
+
+        # shared backbone + shrinker + heads (one instance, two passes)
+        from gencomm_tpu.models.backbones.bev_backbone import BEVBackbone
+        from gencomm_tpu.models.layers import DownsampleConv
+
+        backbone = BEVBackbone(
+            layer_nums=tuple(margs["backbone_args"]["layer_nums"]),
+            layer_strides=tuple(margs["backbone_args"]["layer_strides"]),
+            num_filters=tuple(margs["backbone_args"]["num_filters"]),
+            upsample_strides=tuple(
+                margs["backbone_args"].get("upsample_strides", ())),
+            num_upsample_filters=tuple(
+                margs["backbone_args"].get("num_upsample_filter", ())),
+            name="backbone",
+        )
+        shrink = DownsampleConv(
+            dims=tuple(margs["shrink_header"]["dim"]),
+            kernels=tuple(margs["shrink_header"]["kernal_size"]),
+            strides=tuple(margs["shrink_header"]["stride"]),
+            name="shrinker",
+        )
+        cls_head = nn.Conv(
+            1, (1, 1), bias_init=nn.initializers.constant(-np.log(99.0)),
+            name="cls_head",
+        )
+        reg_head = nn.Conv(
+            8, (1, 1), kernel_init=nn.initializers.normal(0.001),
+            name="reg_head",
+        )
+
+        flat = canvas.reshape((b * l,) + canvas.shape[2:])
+        feat_single = shrink(backbone(flat, train))
+        psm_single = cls_head(feat_single)
+        rm_single = reg_head(feat_single)
+        conf = psm_single.reshape((b, l) + psm_single.shape[1:])
+
+        hm = self.lidar_range[4] - self.lidar_range[1]
+        wm = self.lidar_range[3] - self.lidar_range[0]
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], hm, wm, 1.0
+        ).astype(jnp.float32)
+
+        if "communication" in fargs:
+            masks, rate = Communication(
+                thre=comm_cfg.get("thre", 0.01),
+                smooth="gaussian_smooth" in comm_cfg,
+                kernel_size=smooth_cfg.get("k_size", 5),
+                c_sigma=smooth_cfg.get("c_sigma", 1.0),
+                name="communication",
+            )(conf, agent_mask)
+        else:
+            masks, rate = None, jnp.zeros(())
+
+        if multi_scale:
+            fused = where2comm_multi_scale(
+                backbone, canvas, masks, affine, agent_mask,
+                agg_mode=agg_mode, train=train,
+            )
+            fused = shrink(fused)
+        else:
+            feat = feat_single.reshape((b, l) + feat_single.shape[1:])
+            if masks is not None:
+                if masks.shape[2:4] != feat.shape[2:4]:
+                    masks = jax.image.resize(
+                        masks, (b, l) + feat.shape[2:4] + (1,),
+                        method="nearest",
+                    )
+                feat = feat * masks
+            fused = Where2commFusion(
+                feat_dim=feat.shape[-1], name="fusion_net",
+            )(feat, affine, agent_mask, train)
+
+        cls = cls_head(fused)
+        bbox = reg_head(fused)
+        decoder = CenterPointModel(
+            modality_args=self.modality_args, lidar_range=self.lidar_range,
+            out_size_factor=self.out_size_factor, voxel_size=self.voxel_size,
+        )
+        boxes7 = decoder.decode(bbox)
+        return {
+            "cls_preds": cls, "bbox_preds": bbox, "reg_preds": boxes7,
+            "cls_preds_single": psm_single, "bbox_preds_single": rm_single,
+            "reg_preds_single": decoder.decode(rm_single),
+            "comm_rate": rate,
+        }
+
+
 def gaussian_focal_loss(pred_logits, target, alpha=2.0, gamma=4.0):
     """center_point_loss.py:76-110 — focal loss on gaussian heatmaps."""
     prob = jax.nn.sigmoid(pred_logits)

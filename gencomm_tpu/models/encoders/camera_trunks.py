@@ -64,24 +64,6 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     return interp_axis(x, 2)
 
 
-class TorchBN(nn.Module):
-    """flax BatchNorm pinned to torch defaults for the given trunk."""
-
-    eps: float = 1e-5
-    momentum: float = 0.9  # flax momentum = 1 - torch momentum
-    dtype: object = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.eps,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
-
-
 def swish(x):
     return x * jax.nn.sigmoid(x)
 

@@ -13,9 +13,14 @@ sub_modules/lss_submodule.py (CamEncode / CamEncode_Resnet101):
     grid — the native XLA formulation, differentiable for free
   - z-collapse by concatenation (nz=1 for the OPV2V configs)
 
-The image trunk is a ResNet-style stride-8 stack (the reference's
-EfficientNet-b0/ResNet101 trunks are pretrained torch models; we train our
-own — same role, img_downsample=8 matches the m2/m4 configs).
+Three image trunks are selectable via encoder_args ``img_trunk``
+(CamEncoder.trunk): the default "tpu" patchify stack below (TPU-first
+redesign, stride 8), plus the reference-exact "efficientnet-b0" /
+"resnet101" trunks (camera_trunks.py) for weight-transplanting the
+reference's pretrained CamEncode / CamEncode_Resnet101 via
+tools/trunk_convert.py. EfficientNet-b0 supports img_downsample 8 or 16
+(the reference skips its ``up2`` block at 16, lss_submodule.py:108-111);
+the tpu and resnet101 trunks are stride-8 only.
 """
 
 from __future__ import annotations
@@ -80,6 +85,10 @@ class CamEncoder(nn.Module):
     depth_bins: int
     feat_ch: int
     trunk_blocks: int = 2
+    # trunk output stride: 8, or 16 for the efficientnet-b0 trunk (which
+    # then skips its up2 block, lss_submodule.py:108-111). The tpu and
+    # resnet101 trunks only produce stride 8.
+    downsample: int = 8
     # run the trunk with bf16 activations (params stay fp32): the image
     # trunk is pure conv — the MXU's native precision — and its activations
     # dominate the camera path's HBM traffic. Heads are cast back to fp32.
@@ -101,14 +110,27 @@ class CamEncoder(nn.Module):
                 EfficientNetB0Features,
             )
 
-            x = EfficientNetB0Features(dtype=dt, name="trunk")(imgs, train)
+            x = EfficientNetB0Features(
+                downsample=self.downsample, dtype=dt, name="trunk"
+            )(imgs, train)
         elif self.trunk == "resnet101":
+            if self.downsample != 8:
+                raise ValueError(
+                    "the resnet101 trunk is stride-8 only (the reference's "
+                    "CamEncode_Resnet101 has no downsample-16 variant); got "
+                    f"img_downsample={self.downsample}"
+                )
             from gencomm_tpu.models.encoders.camera_trunks import (
                 ResNet101L2Features,
             )
 
             x = ResNet101L2Features(dtype=dt, name="trunk")(imgs, train)
         elif self.trunk == "tpu":
+            if self.downsample != 8:
+                raise ValueError(
+                    "the tpu patchify trunk is stride-8 only; got "
+                    f"img_downsample={self.downsample}"
+                )
             # patchify stem: one 4x4/s4 conv to stride 4 (vs the classic
             # conv7/s2 + maxpool ResNet stem, whose 1/2-resolution 64-ch
             # activation dominated the trunk's HBM traffic in the device
@@ -185,7 +207,7 @@ class LSSEncoder(nn.Module):
         self.cam_encode = CamEncoder(
             depth_bins=len(self.depth_centers), feat_ch=self.feat_ch,
             trunk_blocks=self.trunk_blocks, bf16=self.trunk_bf16,
-            trunk=self.trunk,
+            trunk=self.trunk, downsample=self.downsample,
         )
 
     def _frustum(self):

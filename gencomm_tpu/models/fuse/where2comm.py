@@ -60,6 +60,67 @@ class Communication(nn.Module):
         return mask, rate
 
 
+def where2comm_multi_scale(backbone, canvas, masks, affine, agent_mask,
+                           agg_mode: str = "ATTEN", train: bool = False):
+    """Multi-scale Where2comm fusion (where2comm_attn.Where2comm with
+    multi_scale=True, opencood/models/fuse_modules/where2comm_attn.py:189-310).
+
+    Re-runs the SHARED BEV backbone on communication-masked features via
+    its ``level_fuse`` hook: every level is masked, warped into the ego
+    frame, and fused across agents (ATTEN = per-pixel scaled-dot
+    self-attention keeping the ego row, :44-54; MAX = elementwise max,
+    :56-61) before the backbone's deconv heads run. The level-0
+    communication mask is max-pooled down for deeper levels (:273-275).
+
+    Must be called from the owning model's compact scope (the hook and
+    this helper are parameter-free; ``backbone`` is the same bound module
+    instance as the single-agent pass, so params are shared — the
+    reference shares self.backbone, center_point_where2comm.py:127-131).
+
+    canvas (B, L, H0, W0, C0); masks (B, L, Hc, Wc, 1) or None.
+    Returns the fused, decoded (B, H', W', C') map.
+    """
+    b, l = agent_mask.shape
+    flat = canvas.reshape((b * l,) + canvas.shape[2:])
+    state = {"mask": masks}
+
+    def level_fuse(i, feat):
+        # feat (B*L, H, W, C) -> fused (B, H, W, C)
+        x = feat.reshape((b, l) + feat.shape[1:])
+        m = state["mask"]
+        if m is not None:
+            if m.shape[2:4] != x.shape[2:4]:
+                if i == 0:
+                    # confidence grid -> level-0 grid (the reference's
+                    # configs match exactly; ours aligns by nearest)
+                    m = jax.image.resize(
+                        m, (b, l) + x.shape[2:4] + (1,), method="nearest",
+                    )
+                else:
+                    # F.max_pool2d(mask, 2) per deeper level (:274)
+                    ky = m.shape[2] // x.shape[2]
+                    kx = m.shape[3] // x.shape[3]
+                    m = nn.max_pool(
+                        m.reshape((b * l,) + m.shape[2:]),
+                        (ky, kx), strides=(ky, kx),
+                    ).reshape((b, l) + x.shape[2:4] + (1,))
+                state["mask"] = m
+            x = x * m
+        w = warp_to_ego(x, affine)  # (B, L, H, W, C)
+        if agg_mode.upper() == "MAX":
+            mm = agent_mask[:, :, None, None, None]
+            return jnp.where(mm, w, _NEG).max(axis=1)
+        # ATTEN: parameterless per-pixel scaled-dot attention, ego query
+        c = w.shape[-1]
+        q = w[:, 0]
+        scores = jnp.einsum("bhwc,blhwc->blhw", q, w) / np.sqrt(c)
+        scores = jnp.where(agent_mask[:, :, None, None], scores, _NEG)
+        attn = nn.softmax(scores, axis=1)
+        return jnp.einsum("blhw,blhwc->bhwc", attn, w)
+
+    return backbone(flat, train, level_fuse=level_fuse)
+
+
 @FUSIONS.register("where2comm")
 class Where2commFusion(nn.Module):
     """Per-pixel multi-head attention fusion (EncodeLayer parity)."""

@@ -39,6 +39,21 @@ DEFAULT_CONFIGS = [
      "intermediate"),
 ]
 
+# Added-cost comparison across ALL FIVE hetero methods on the SAME m1+m2
+# (PointPillars lidar + LSS camera) OPV2V agents, mirroring the poster's
+# #P/#F columns (BASELINE.md): each method row minus the plain multi-
+# modality att baseline gives the params/latency the method ADDS for
+# heterogeneous collaboration.
+HETERO_BASE = ("base_m1m2",
+               "configs/opv2v/more_modality/2_modality_end2end/m1m2_att.yaml")
+HETERO_METHODS = [
+    ("gencomm_m1m2", "configs/opv2v/gencomm_stage2_m1m2.yaml"),
+    ("backalign_m1m2", "configs/opv2v/backalign_m1m2.yaml"),
+    ("codefilling_m1m2", "configs/opv2v/codefilling_m1m2.yaml"),
+    ("mpda_m1m2", "configs/opv2v/mpda_m1m2.yaml"),
+    ("stamp_m1m2", "configs/opv2v/stamp_m1m2.yaml"),
+]
+
 
 def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
                               seed: int = 0, points_per_agent: int = 20000,
@@ -101,7 +116,8 @@ def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
     return scenes, batch
 
 
-def bench_config(name: str, path: str, mode: str, iters: int = 20):
+def bench_config(name: str, path: str, mode: str, iters: int = 20,
+                 quiet: bool = False):
     from gencomm_tpu.config.yaml_utils import load_yaml
     from gencomm_tpu.models import create_model
     from gencomm_tpu.data.postprocessor import generate_anchor_box
@@ -136,11 +152,43 @@ def bench_config(name: str, path: str, mode: str, iters: int = 20):
         dets = pipe._run(pipe.variables, batch, keys[i])
     jax.block_until_ready(dets.scores)
     dt = (time.perf_counter() - t0) / iters
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+        variables["params"]))
     row = {"config": name, "yaml": path, "mode": mode,
            "fps": round(1.0 / dt, 2), "ms_per_frame": round(dt * 1e3, 2),
-           "compile_s": round(compile_s, 1)}
-    print(json.dumps(row), flush=True)
+           "compile_s": round(compile_s, 1),
+           "params_M": round(n_params / 1e6, 3)}
+    if not quiet:
+        print(json.dumps(row), flush=True)
     return row
+
+
+def added_cost_matrix(iters: int = 20, only=None):
+    """Measured analog of the poster's #P/#F table: fps + total params per
+    hetero method on the shared m1+m2 agents, and deltas vs the plain
+    multi-modality att baseline. Returns the list of row dicts."""
+    rows = []
+    base_row = None
+    for name, path in [HETERO_BASE] + HETERO_METHODS:
+        if only and name != HETERO_BASE[0] and name not in only:
+            continue
+        try:
+            row = bench_config(name, path, "intermediate", iters,
+                               quiet=True)
+        except Exception as e:
+            print(json.dumps({"config": name, "error": repr(e)[:300]}),
+                  flush=True)
+            continue
+        if base_row is None:
+            base_row = row
+        else:
+            row["added_ms"] = round(
+                row["ms_per_frame"] - base_row["ms_per_frame"], 2)
+            row["added_params_M"] = round(
+                row["params_M"] - base_row["params_M"], 3)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    return rows
 
 
 def main(argv=None):
@@ -151,7 +199,14 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--added_cost", action="store_true",
+                    help="run the five-hetero-method added-cost matrix "
+                         "(poster #P/#F analog) instead of the default "
+                         "config list")
     args = ap.parse_args(argv)
+    if args.added_cost:
+        return added_cost_matrix(args.iters,
+                                 args.only.split(",") if args.only else None)
     rows = []
     for name, path, mode in DEFAULT_CONFIGS:
         if args.only and name not in args.only.split(","):

@@ -629,7 +629,8 @@ def legacy_config(dataset, core, lidar_range):
                 "uncertainty": {"weight": 0.5}},
         }
         del cfg["loss"]["args"]["dir"]
-    elif core in ("center_point", "center_point_baseline"):
+    elif core in ("center_point", "center_point_baseline",
+                  "center_point_where2comm"):
         args = {
             "lidar_range": list(lidar_range),
             "voxel_size": list(VOXEL),
@@ -644,6 +645,21 @@ def legacy_config(dataset, core, lidar_range):
                               "input_dim": 384},
             "out_size_factor": 4,
         }
+        if core == "center_point_where2comm":
+            # fusion_args schema: reference center_point_where2comm.py:46
+            # + where2comm_attn.Where2comm.__init__ (:174-217)
+            args["fusion_args"] = {
+                "voxel_size": list(VOXEL),
+                "downsample_rate": 4,
+                "multi_scale": True,
+                "layer_nums": [3, 5, 8],
+                "num_filters": [64, 128, 256],
+                "agg_operator": {"mode": "ATTEN", "feature_dim": 128},
+                "communication": {
+                    "thre": 0.01,
+                    "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+                },
+            }
         cfg["loss"] = {"core_method": "center_point_loss",
                        "args": {"cls_weight": 1.0, "loc_weight": 2.0}}
     elif core in ("pixor", "pixor_intermediate"):
@@ -776,8 +792,8 @@ def main(argv=None):
         emit("opv2v", cfg, fname=f"{method}_m1m2")
     for core in ("second", "second_intermediate", "second_ssfa",
                  "second_ssfa_uncertainty", "ciassd", "fpvrcnn",
-                 "point_pillar_uncertainty", "center_point", "pixor",
-                 "voxel_net"):
+                 "point_pillar_uncertainty", "center_point",
+                 "center_point_where2comm", "pixor", "voxel_net"):
         emit("opv2v", legacy_config("opv2v", core, LIDAR_RANGE))
 
     # camera-only / lidar-only fusion families (reference CameraOnly/*,

@@ -53,8 +53,7 @@ def _bn(sd: Mapping[str, np.ndarray], tname: str,
     }
 
 
-def _conv_entry(sd: Mapping[str, np.ndarray], tname: str,
-                depthwise: bool = False) -> Dict:
+def _conv_entry(sd: Mapping[str, np.ndarray], tname: str) -> Dict:
     w = _np(sd[tname + ".weight"])
     out = {"kernel": _conv(w)}
     if tname + ".bias" in sd:
