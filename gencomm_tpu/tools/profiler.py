@@ -137,6 +137,12 @@ def main(argv=None):
     parser.add_argument("--dataset", default="synthetic",
                         choices=["opv2v", "v2xset", "dairv2x", "v2xsim", "v2xreal", "synthetic"])
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="batch size for the profiled step (the "
+                             "MFU-vs-batch sweep)")
+    parser.add_argument("--half", action="store_true",
+                        help="bf16 activation path (tools/train.py --half "
+                             "analog) for the profiled model")
     parser.add_argument("--train", action="store_true",
                         help="also profile the TRAINING step: throughput + "
                              "peak device memory "
@@ -159,6 +165,8 @@ def main(argv=None):
     from gencomm_tpu.tools.train import build_dataset
 
     hypes = load_yaml(args.hypes_yaml, args.model_dir)
+    if args.half:
+        hypes["model"]["args"]["half"] = True
     model = create_model(hypes)
     dataset = build_dataset(hypes, False, args.dataset)
     if args.dataset == "synthetic":
@@ -175,9 +183,9 @@ def main(argv=None):
             _, host = synthetic_batch_for_hypes(
                 hypes, host_decorate=not args.no_host_decorate)
         else:
-            host = dataset.sample(0, 1)
+            host = dataset.sample(0, args.batch)
     else:
-        host = dataset.collate([dataset[0]])
+        host = dataset.collate([dataset[i] for i in range(args.batch)])
     if not args.no_host_decorate:
         from gencomm_tpu.data.decorate import host_decorate_pillars
 
