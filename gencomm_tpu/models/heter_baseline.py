@@ -67,8 +67,12 @@ class ModalityBranch(nn.Module):
                 trunk_blocks=self.encoder_args.get("trunk_blocks", 2),
                 trunk=self.encoder_args.get("img_trunk", "tpu"),
                 depth_topk=self.encoder_args.get("depth_topk", 0),
-                trunk_bf16=self.encoder_args.get("trunk_bf16", False),
-                splat_bf16=self.encoder_args.get("splat_bf16", False),
+                # half (the --half AMP analog) implies the camera-specific
+                # bf16 knobs too: trunk activations + splat update rows
+                trunk_bf16=self.encoder_args.get(
+                    "trunk_bf16", self.dtype == jnp.bfloat16),
+                splat_bf16=self.encoder_args.get(
+                    "splat_bf16", self.dtype == jnp.bfloat16),
                 name="encoder",
             )
             canvas, depth_logits = enc(inputs, train)
