@@ -442,7 +442,7 @@ class HeterModel(nn.Module):
             from gencomm_tpu.models.codebook import UMGMQuantizer
 
             c = feature.shape[-1]
-            restored, _codes, code_loss = UMGMQuantizer(
+            restored, codes, code_loss = UMGMQuantizer(
                 channel=c, seg_num=self.codebook_seg,
                 dict_sizes=tuple(self.codebook_dict_sizes), name="codebook",
             )(feature.reshape(-1, c), train)
@@ -450,6 +450,12 @@ class HeterModel(nn.Module):
             is_ego = jnp.arange(l)[None, :, None, None, None] == 0
             feature = jnp.where(is_ego, feature, q_feat)
             out["codebook_loss"] = code_loss
+            # the code indices ARE the transmitted payload — surface them
+            # (per stage, per agent) for entropy-coded CPM accounting
+            # (reference's draco_compression.py role, done losslessly here)
+            out["codebook_codes"] = jnp.stack(
+                [s.reshape((b, l, -1)) for s in codes], axis=2
+            )  # (B, L, n_stages, H*W*seg)
 
         if self.use_comm_mask:
             # where2comm confidence masks from the shared cls head

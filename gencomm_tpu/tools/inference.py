@@ -210,6 +210,29 @@ def main(argv=None):
         sizes = cpm_size_bytes(per_agent)
         report["cpm_bytes_fp16_raw"] = sizes["raw_bytes"]
         report["cpm_bytes_fp16_deflate"] = sizes["compressed_bytes"]
+        codes = out.get("codebook_codes")
+        if codes is not None:
+            # CodeFilling: the code indices are the real payload — report
+            # exact entropy-coded sizes (draco_compression.py analog)
+            from gencomm_tpu.utils.misc_utils import code_stream_bytes
+
+            dict_sizes = hypes["model"]["args"]["codebook"].get(
+                "dict_size", [128])
+            if not isinstance(dict_sizes, (list, tuple)):
+                dict_sizes = [dict_sizes]
+            codes = np.asarray(codes)[0, senders]  # (S, stages, N)
+            per_stage = [
+                code_stream_bytes(codes[:, s], int(dict_sizes[
+                    min(s, len(dict_sizes) - 1)]))
+                for s in range(codes.shape[1])
+            ]
+            report["payload"] = "codebook_codes"
+            report["cpm_code_bytes_packed"] = sum(
+                s["raw_bytes"] for s in per_stage)
+            report["cpm_code_bytes_entropy"] = sum(
+                s["entropy_bytes"] for s in per_stage)
+            report["cpm_code_bytes_deflate"] = sum(
+                s["compressed_bytes"] for s in per_stage)
         print("comm report:", report)
 
     for global_sort in (False, True):

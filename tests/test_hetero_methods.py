@@ -66,6 +66,20 @@ def test_codebook_model_forward_and_loss(batch):
     assert "codebook_loss" in losses
     assert np.isfinite(float(losses["total_loss"]))
 
+    # the code indices are the transmitted payload: surfaced per agent
+    # with entropy-coded CPM accounting (draco_compression.py analog)
+    from gencomm_tpu.utils.misc_utils import code_stream_bytes
+
+    codes = np.asarray(out["codebook_codes"])
+    b, l = np.asarray(batch["agent_mask"]).shape
+    assert codes.shape[:3] == (b, l, 3)  # 3 UMGM stages
+    assert codes.min() >= 0 and codes.max() < 16
+    sizes = code_stream_bytes(codes[0, 1:, 0], 16)
+    n_codes = codes[0, 1:, 0].size
+    assert sizes["raw_bytes"] == (n_codes * 4 + 7) // 8  # 4 bits/code
+    assert 0 < sizes["entropy_bytes"] <= sizes["raw_bytes"]
+    assert sizes["compressed_bytes"] > 0
+
 
 def test_gradient_scale_reverses_gradients():
     from gencomm_tpu.models.mpda import gradient_scale
