@@ -25,6 +25,37 @@ from gencomm_tpu.models.fuse.fusion import warp_to_ego, _NEG
 from gencomm_tpu.registry import FUSIONS
 
 
+class TypedDense(nn.Module):
+    """Per-agent-type linear: weight bank (C, nt, out) gathered by the
+    (B, L) type index — the nt-table gather is tiny, and each agent pays
+    exactly ONE matmul. The previous formulation (DenseGeneral over all
+    types + one-hot contraction) computed every type's projection and
+    materialized (B,H,W,L,nt,o) layouts whose copies were the camera
+    trace's biggest non-splat ops (~0.4 ms each at 64x64x256). The param
+    tree matches nn.DenseGeneral((nt, out)) so checkpoints and the golden
+    weight-transplant tests are unchanged. (A per-ELEMENT take_along_axis
+    gather over the full map is still catastrophic — see r1 notes.)"""
+
+    num_types: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, agent_types):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=0, out_axis=(1, 2)),
+            (c, self.num_types, self.out_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_types, self.out_dim))
+        w_sel = jnp.transpose(kernel, (1, 0, 2))[agent_types]  # (B,L,C,o)
+        b_sel = bias[agent_types]  # (B, L, o)
+        y = jnp.einsum("bhwlc,blco->bhwlo", x,
+                       w_sel.astype(x.dtype))
+        return y + b_sel[:, None, None].astype(x.dtype)
+
+
 class HGTCavAttention(nn.Module):
     """Heterogeneous graph-transformer attention over the agent axis
     (hmsa.py:7-150). num_types agent classes, num_types^2 relation types."""
@@ -33,6 +64,9 @@ class HGTCavAttention(nn.Module):
     heads: int
     dim_head: int = 64
     num_types: int = 2
+    # bf16 projection/attention math (the --half AMP analog); params and
+    # the softmax mask constant stay fp32-representable
+    half: bool = False
 
     @nn.compact
     def __call__(self, x, agent_types, mask):
@@ -40,22 +74,12 @@ class HGTCavAttention(nn.Module):
         b, h, w, l, c = x.shape
         inner = self.heads * self.dim_head
         nt = self.num_types
+        if self.half:
+            x = x.astype(jnp.bfloat16)
 
-        type_onehot = jax.nn.one_hot(agent_types, nt, dtype=x.dtype)
-
-        def typed_proj(name, out_dim):
-            # project with every type's linear, then select per agent type.
-            # Selection = one-hot contraction over the tiny type axis — a
-            # take_along_axis here is a per-ELEMENT gather over the full
-            # (B,H,W,L,C) map, which XLA lowers catastrophically on TPU
-            # (~190 ms per call at camera scale, the profiled top cost of
-            # the whole V2X-ViT model)
-            y = nn.DenseGeneral((nt, out_dim), name=name)(x)  # (B,H,W,L,nt,o)
-            return jnp.einsum("bhwlno,bln->bhwlo", y, type_onehot)
-
-        q = typed_proj("q_typed", inner)
-        k = typed_proj("k_typed", inner)
-        v = typed_proj("v_typed", inner)
+        q = TypedDense(nt, inner, name="q_typed")(x, agent_types)
+        k = TypedDense(nt, inner, name="k_typed")(x, agent_types)
+        v = TypedDense(nt, inner, name="v_typed")(x, agent_types)
 
         def heads_split(t):
             return t.reshape(b, h, w, l, self.heads, self.dim_head)
@@ -71,8 +95,8 @@ class HGTCavAttention(nn.Module):
             (nt * nt, self.heads, self.dim_head, self.dim_head),
         )
         rel_idx = agent_types[:, :, None] * nt + agent_types[:, None, :]
-        w_att = rel_att[rel_idx]  # (B, L, L, heads, d, d)
-        w_msg = rel_msg[rel_idx]
+        w_att = rel_att[rel_idx].astype(q.dtype)  # (B, L, L, heads, d, d)
+        w_msg = rel_msg[rel_idx].astype(q.dtype)
         # NOTE: a "homogeneous fast path" (all types 0 -> contract q/v with
         # rel_att[0] directly, skipping the per-pair bhwijme intermediates)
         # was tried and REGRESSED (63.1 -> 56-58 fps on the camera+v2xvit
@@ -85,14 +109,14 @@ class HGTCavAttention(nn.Module):
             self.dim_head**-0.5
         )
         vmsg = jnp.einsum("bhwjmd,bijmde->bhwijme", v, w_msg)
-        scores = jnp.where(mask[:, None, None, None, None, :], scores, _NEG)
-        attn = nn.softmax(scores, axis=-1)
+        scores = jnp.where(mask[:, None, None, None, None, :],
+                           scores.astype(jnp.float32), _NEG)
+        attn = nn.softmax(scores, axis=-1).astype(vmsg.dtype)
         out = jnp.einsum("bhwmij,bhwijme->bhwime", attn, vmsg)
         out = out.reshape(b, h, w, l, inner)
 
-        # typed output projection (same one-hot contraction as typed_proj)
-        dense_out = nn.DenseGeneral((nt, self.dim), name="out_typed")(out)
-        return jnp.einsum("bhwlno,bln->bhwlo", dense_out, type_onehot)
+        out = TypedDense(nt, self.dim, name="out_typed")(out, agent_types)
+        return out.astype(jnp.float32)
 
 
 class WindowAttention(nn.Module):
@@ -117,32 +141,52 @@ class WindowAttention(nn.Module):
             qkv = qkv.astype(jnp.bfloat16)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        b, l = x.shape[0], x.shape[1]
+        nh, nw = x.shape[2] // ws, x.shape[3] // ws
+
         def windows(t):
-            return rearrange(
-                t, "b l (nh wh) (nw ww) (m c) -> (b l) m (nh nw) (wh ww) c",
-                wh=ws, ww=ws, m=self.heads,
-            )
+            # window partition keeping the FULL inner dim (m*c = 128 lanes)
+            # minor through the transpose — the einops form
+            # "... (m c) -> ... m ... c" used to leave dim_head (8-32) as
+            # the minor axis, and those sub-lane-width layout copies were
+            # 32% of the camera forward in the device trace. The head
+            # split is a free trailing reshape here; the einsum below
+            # carries m as a batch dim instead.
+            t = t.reshape(b, l, nh, ws, nw, ws, inner)
+            t = t.transpose(0, 1, 2, 4, 3, 5, 6)
+            return t.reshape(b * l, nh * nw, ws * ws,
+                             self.heads, self.dim_head)
 
         q, k, v = (windows(t) for t in (q, k, v))
-        dots = jnp.einsum("bmhic,bmhjc->bmhij", q, k) * self.dim_head**-0.5
+        dots = jnp.einsum("bwimc,bwjmc->bwmij", q, k) * self.dim_head**-0.5
 
         table = self.param(
             "rel_pos", nn.initializers.normal(1.0),
             (2 * ws - 1, 2 * ws - 1),
         )
-        coords = np.stack(
-            np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
-        ).reshape(2, -1)
-        rel = coords[:, :, None] - coords[:, None, :] + ws - 1  # (2, n, n)
-        dots = dots + table[rel[0], rel[1]].astype(dots.dtype)
+
+        # Toeplitz expansion of the (2ws-1, 2ws-1) table to the (t, t)
+        # bias WITHOUT a runtime gather: table[rel] was the single most
+        # expensive fusion op after the splat in the device trace (0.54 ms
+        # per ws=16 attention — XLA serializes random gathers at ~8 ns/
+        # element). Static slices are layout-free.
+        def skew(a, axis_last=True):
+            # a (..., 2ws-1) -> (..., ws, ws): out[..., q, j] = a[..., q-j+ws-1]
+            return jnp.stack(
+                [a[..., q:q + ws][..., ::-1] for q in range(ws)], axis=-2
+            )
+
+        rows = skew(jnp.moveaxis(table, 0, -1))      # (31, ws, ws) -> dy
+        rows = jnp.moveaxis(rows, 0, -1)             # (ws_yi, ws_yj, 31)
+        bias4 = skew(rows)                           # (yi, yj, xi, xj)
+        bias = bias4.transpose(0, 2, 1, 3).reshape(ws * ws, ws * ws)
+        dots = dots + bias.astype(dots.dtype)
 
         attn = nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bmhij,bmhjc->bmhic", attn, v).astype(jnp.float32)
-        b, l = x.shape[0], x.shape[1]
-        nh, nw = x.shape[2] // ws, x.shape[3] // ws
-        out = rearrange(
-            out, "(b l) m (nh nw) (wh ww) c -> b l (nh wh) (nw ww) (m c)",
-            b=b, l=l, nh=nh, wh=ws,
+        out = jnp.einsum("bwmij,bwjmc->bwimc", attn, v).astype(jnp.float32)
+        out = out.reshape(b, l, nh, nw, ws, ws, inner)
+        out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, l, nh * ws, nw * ws, inner
         )
         return nn.Dense(self.dim, name="to_out")(out)
 
@@ -219,7 +263,7 @@ class V2XViTFusion(nn.Module):
                 norm = nn.LayerNorm(name=f"d{d}b{nb}_cav_norm")(tokens)
                 att = HGTCavAttention(
                     self.dim, self.cav_heads, self.cav_dim_head,
-                    name=f"d{d}b{nb}_hmsa",
+                    half=self.half, name=f"d{d}b{nb}_hmsa",
                 )(norm, agent_types, agent_mask)
                 feats = feats + att.transpose(0, 3, 1, 2, 4)
                 norm2 = nn.LayerNorm(name=f"d{d}b{nb}_win_norm")(feats)

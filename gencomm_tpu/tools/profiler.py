@@ -111,6 +111,74 @@ def trace_op_breakdown(fn, *args, iters: int = 5, trace_dir: str | None = None,
     return rows
 
 
+def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
+                    top: int = 25) -> list:
+    """Aggregate device-trace op time by MODEL MODULE: join the trace's op
+    names against the compiled HLO's op_name metadata (which carries the
+    flax module path) and sum device time per path prefix.
+
+    This answers "which module owns the time" — the raw trace only shows
+    fused op names (fusion.N / copy.N)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+    import tempfile
+
+    jitted = jax.jit(fn)
+    comp = jitted.lower(*args).compile()
+    txt = comp.as_text()
+    op2path = {}
+    for m in re.finditer(
+            r'%([\w.\-]+) = [^\n]*?op_name="([^"]+)"', txt):
+        name, op_name = m.groups()
+        # op_name like jit(fwd)/HeterModel/branch_m1/encoder/...; keep the
+        # module path segments after the jit entry
+        parts = [p for p in op_name.split("/")
+                 if not p.startswith("jit(") and p != "checkpoint"]
+        op2path[name] = "/".join(parts[:depth]) if parts else op_name
+
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    trace_dir = tempfile.mkdtemp(prefix="gencomm_mod_trace_")
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(iters):
+        out = jitted(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    paths = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return []
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    agg = collections.Counter()
+    unattributed = 0.0
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and \
+                "TPU" in pids.get(e.get("pid"), ""):
+            name = e["name"]
+            if name.startswith("jit_"):
+                continue
+            total += e["dur"]
+            path = op2path.get(name)
+            if path is None:
+                unattributed += e["dur"]
+                path = f"<{name.split('.')[0]}>"
+            agg[path] += e["dur"]
+    rows = [(d / iters, path) for path, d in agg.most_common(top)]
+    print(f"device total {total / iters:.0f} us/iter, by module "
+          f"(unattributed {unattributed / total * 100:.0f}%):")
+    for us, path in rows:
+        print(f"  {us:>8.0f} us  {100 * us * iters / total:5.1f}%  {path}")
+    return rows
+
+
 def latency(fn, *args, iters: int = 20) -> dict:
     """Compile + steady-state latency of a jitted callable."""
     jitted = jax.jit(fn)
@@ -147,6 +215,10 @@ def main(argv=None):
                         help="also profile the TRAINING step: throughput + "
                              "peak device memory "
                              "(tools/profiler/traintp_calc.py:24-60 parity)")
+    parser.add_argument("--by_module", action="store_true",
+                        help="aggregate the device trace by flax module "
+                             "path (joins trace op names with HLO "
+                             "op_name metadata)")
     parser.add_argument("--trace", default=None, nargs="?", const="",
                         help="capture a device trace (jax.profiler; the "
                              "torch.profiler analog) and print the top ops "
@@ -223,6 +295,8 @@ def main(argv=None):
     if args.trace is not None:
         trace_op_breakdown(fwd, dv, batch,
                            trace_dir=args.trace or None)
+    if args.by_module:
+        trace_by_module(fwd, dv, batch)
 
     if args.train:
         from gencomm_tpu.loss import create_loss
