@@ -364,6 +364,7 @@ class LSSEncoder(nn.Module):
                 canvas = splat_topk(
                     dvals.reshape(-1, k), feats.reshape(-1, c_ch),
                     ids_k.reshape(-1, k).astype(jnp.int32), num_cells,
+                    self.splat_bf16,
                 )
                 canvas = canvas.reshape(a, nz, ny, nx, -1)
                 return jnp.concatenate(

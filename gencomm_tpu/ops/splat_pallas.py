@@ -77,7 +77,7 @@ def _splat_kernel(cs_ref, first_ref, ids_ref, upd_ref, out_ref, *, t):
         out_ref[:] = out_ref[:] + contrib
 
 
-def _splat_fwd_impl(dvals, feats, ids, num_cells):
+def _splat_fwd_impl(dvals, feats, ids, num_cells, bf16_rows=True):
     p, k = dvals.shape
     c_ch = feats.shape[-1]
     m = p * k
@@ -126,9 +126,9 @@ def _splat_fwd_impl(dvals, feats, ids, num_cells):
     # THE one big gather: feature row per padded slot (pixel = row // K),
     # fused with the depth-weight multiply; bf16 rows halve the traffic
     # and feed the MXU at its native precision (accumulation stays fp32)
-    upd = (w[:, None] * feats.reshape(p, c_ch)[row // k]).astype(
-        jnp.bfloat16
-    )
+    upd = w[:, None] * feats.reshape(p, c_ch)[row // k]
+    if bf16_rows:
+        upd = upd.astype(jnp.bfloat16)
     ids_pad = jnp.where(valid, sids[src], s_pad).reshape(mp // r, r)
 
     chunk_stripe = s_of[::r]  # chunks never straddle stripes (pad to R)
@@ -163,24 +163,29 @@ def _splat_fwd_impl(dvals, feats, ids, num_cells):
     return canvas[:num_cells]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def splat_topk(dvals, feats, ids, num_cells):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def splat_topk(dvals, feats, ids, num_cells, bf16_rows=True):
     """Top-K categorical-depth splat onto a flat BEV canvas.
 
     dvals: (P, K) depth weights per pixel (renormalized top-K mass)
     feats: (P, C) image features per pixel
     ids:   (P, K) int32 flat canvas cell per (pixel, k); >= num_cells drops
+    bf16_rows: cast the padded update rows to bf16 before the MXU matmul
+      (halves HBM traffic; accumulation stays fp32 either way). Threaded
+      from LSSEncoder.splat_bf16 so backend choice doesn't silently change
+      numerics (ADVICE r3).
     Returns (num_cells, C) fp32 canvas: canvas[c] = sum dvals * feats over
     rows with ids == c. Row layout contract: K is minor (pixel-major).
     """
-    return _splat_fwd_impl(dvals, feats, ids, num_cells)
+    return _splat_fwd_impl(dvals, feats, ids, num_cells, bf16_rows)
 
 
-def _splat_fwd(dvals, feats, ids, num_cells):
-    return _splat_fwd_impl(dvals, feats, ids, num_cells), (dvals, feats, ids)
+def _splat_fwd(dvals, feats, ids, num_cells, bf16_rows=True):
+    return (_splat_fwd_impl(dvals, feats, ids, num_cells, bf16_rows),
+            (dvals, feats, ids))
 
 
-def _splat_bwd(num_cells, res, g):
+def _splat_bwd(num_cells, bf16_rows, res, g):
     dvals, feats, ids = res
     p, k = dvals.shape
     valid = ids < num_cells  # (P, K)

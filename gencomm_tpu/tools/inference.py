@@ -216,8 +216,11 @@ def main(argv=None):
             # exact entropy-coded sizes (draco_compression.py analog)
             from gencomm_tpu.utils.misc_utils import code_stream_bytes
 
+            # Same default as create-model (heter_baseline.py
+            # codebook_dict_sizes fallback (64,64,64)) so the bits/code
+            # used for packed/entropy byte accounting matches the model.
             dict_sizes = hypes["model"]["args"]["codebook"].get(
-                "dict_size", [128])
+                "dict_size", [64, 64, 64])
             if not isinstance(dict_sizes, (list, tuple)):
                 dict_sizes = [dict_sizes]
             codes = np.asarray(codes)[0, senders]  # (S, stages, N)

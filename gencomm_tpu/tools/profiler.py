@@ -171,6 +171,10 @@ def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
                 unattributed += e["dur"]
                 path = f"<{name.split('.')[0]}>"
             agg[path] += e["dur"]
+    if not total:
+        print("no device events in trace (CPU backend or empty trace); "
+              "no per-module breakdown")
+        return []
     rows = [(d / iters, path) for path, d in agg.most_common(top)]
     print(f"device total {total / iters:.0f} us/iter, by module "
           f"(unattributed {unattributed / total * 100:.0f}%):")
