@@ -179,6 +179,12 @@ class HeterModel(nn.Module):
     in_head: int = 128
     use_gencomm: bool = False
     use_enhancer: bool = False
+    # Enhancer attention branch (reference enhancer.py:352 ships it
+    # commented out; enable via config enhancer.use_attn)
+    enhancer_use_attn: bool = False
+    enhancer_num_heads: int = 4
+    enhancer_attn_mode: str = "window_sparse"
+    enhancer_win_size: Sequence[int] = (8, 8)
     message_ch: int = 2
     gencomm_timesteps: int = 3
     unet_ch: int = 8
@@ -514,7 +520,18 @@ class HeterModel(nn.Module):
                 ).astype(pred.dtype)
                 fused_in = pred * smask
             if self.use_enhancer:
-                fused_in = Enhancer(dim=pred.shape[-1], name="enhancer")(fused_in)
+                # per-agent affine into the ego frame, row 0 of the
+                # pairwise matrix (reference enhancer.py:375
+                # affine_matrix[b, 0][:n_agents])
+                agent_affine = affine[:, 0].reshape((-1,) + affine.shape[-2:])
+                fused_in = Enhancer(
+                    dim=pred.shape[-1],
+                    use_attn=self.enhancer_use_attn,
+                    num_heads=self.enhancer_num_heads,
+                    attn_mode=self.enhancer_attn_mode,
+                    win_size=tuple(self.enhancer_win_size),
+                    name="enhancer",
+                )(fused_in, agent_affine)
             feature = fused_in.reshape((b, l) + hw + (pred.shape[-1],))
 
         fusion = build_fusion(self.fusion_method, self.fusion_args,
@@ -585,6 +602,14 @@ def build_model(hypes: dict) -> HeterModel:
         in_head=args.get("in_head", 128),
         use_gencomm=use_gencomm,
         use_enhancer=use_gencomm and "enhancer" in args,
+        enhancer_use_attn=bool(
+            args.get("enhancer", {}).get("use_attn", False)),
+        enhancer_num_heads=int(
+            args.get("enhancer", {}).get("num_heads", 4)),
+        enhancer_attn_mode=str(
+            args.get("enhancer", {}).get("attn_mode", "window_sparse")),
+        enhancer_win_size=tuple(
+            args.get("enhancer", {}).get("win_size", (8, 8))),
         message_ch=args.get("message_extractor", {}).get("out_ch", 2),
         gencomm_timesteps=diff_cfg.get("num_diffusion_timesteps", 3),
         unet_ch=unet_cfg.get("ch", 8),

@@ -1302,3 +1302,133 @@ def test_pyramid_window_attention_split_attn_parity():
 
     got = np.asarray(ours.apply(variables, xn))
     np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_enhancer_angle_attention_parity():
+    """The re-enabled enhancer.py:352 attention branch: global token
+    attention with the multiplicative angle-bin bias
+    (enhancer.py:91-176 Attention + get_angle_attention_bias:111-151).
+    Reference module run standalone in eval mode, weights transplanted."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.gencomm_modules.enhancer import Attention as RefAttn
+    from gencomm_tpu.models.gencomm.enhancer import AngleBiasAttention
+
+    rng = np.random.default_rng(43)
+    b, c, h, w, heads = 3, 16, 8, 12, 4
+    n = h * w
+    ref = RefAttn(dim=c, num_heads=heads, attn_drop=0.0, proj_drop=0.0).eval()
+    torch.manual_seed(7)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.2)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+        ref.angle_bias_table.normal_(0, 0.5)
+    x = rng.normal(size=(b, n, c)).astype(np.float32)
+    # per-agent affine into the ego frame: rotation + translation
+    affine = np.zeros((b, 2, 3), np.float32)
+    for i in range(b):
+        a = rng.uniform(-0.4, 0.4)
+        affine[i, :2, :2] = [[np.cos(a), -np.sin(a)],
+                             [np.sin(a), np.cos(a)]]
+        affine[i, :, 2] = rng.uniform(-3, 3, 2)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            affine_matrix=torch.from_numpy(affine), H=h, W=w,
+        ).numpy()
+
+    ours = AngleBiasAttention(dim=c, num_heads=heads)
+    variables = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(affine), (h, w)
+    )
+    p = variables["params"]
+    p["to_q"]["kernel"] = jnp.asarray(_t2n(ref.qkv.to_q.weight).T)
+    p["to_q"]["bias"] = jnp.asarray(_t2n(ref.qkv.to_q.bias))
+    p["to_kv"]["kernel"] = jnp.asarray(_t2n(ref.qkv.to_kv.weight).T)
+    p["to_kv"]["bias"] = jnp.asarray(_t2n(ref.qkv.to_kv.bias))
+    p["proj"]["kernel"] = jnp.asarray(_t2n(ref.proj.weight).T)
+    p["proj"]["bias"] = jnp.asarray(_t2n(ref.proj.bias))
+    p["angle_bias_table"] = jnp.asarray(_t2n(ref.angle_bias_table))
+
+    got = np.asarray(
+        ours.apply(variables, jnp.asarray(x), jnp.asarray(affine), (h, w))
+    )
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+    # kv-reshape check: the torch LinearProjection splits to_kv output as
+    # (..., 2, heads, hd) — verify no-affine path too (bias skipped)
+    with torch.no_grad():
+        ref_na = ref(torch.from_numpy(x)).numpy()
+    got_na = np.asarray(ours.apply(variables, jnp.asarray(x), None, None))
+    np.testing.assert_allclose(got_na, ref_na, rtol=2e-3, atol=2e-3)
+
+
+def test_enhancer_window_sparse_attention_parity():
+    """sparse_attn.py:167-250 WindowAttention_sparse: Swin rel-pos bias on
+    the logits, learned softmax/ReLU blend (attn = softmax*w1 + relu*w2,
+    (w1,w2)=softmax(w)). Transplant parity on window-partitioned tokens."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from opencood.models.gencomm_modules.sparse_attn import (
+        WindowAttention_sparse as RefWin,
+    )
+    from gencomm_tpu.models.gencomm.enhancer import WindowAttentionSparse
+
+    rng = np.random.default_rng(44)
+    wh, ww, c, heads, nwin = 4, 6, 16, 4, 5
+    n = wh * ww
+    ref = RefWin(dim=c, win_size=(wh, ww), num_heads=heads,
+                 attn_drop=0.0, proj_drop=0.0).eval()
+    torch.manual_seed(8)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.2)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+        ref.relative_position_bias_table.normal_(0, 0.3)
+        ref.w.copy_(torch.tensor([0.7, 1.4]))
+    x = rng.normal(size=(nwin, n, c)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = WindowAttentionSparse(dim=c, num_heads=heads, win_size=(wh, ww))
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+    p["to_q"]["kernel"] = jnp.asarray(_t2n(ref.qkv.to_q.weight).T)
+    p["to_q"]["bias"] = jnp.asarray(_t2n(ref.qkv.to_q.bias))
+    p["to_kv"]["kernel"] = jnp.asarray(_t2n(ref.qkv.to_kv.weight).T)
+    p["to_kv"]["bias"] = jnp.asarray(_t2n(ref.qkv.to_kv.bias))
+    p["proj"]["kernel"] = jnp.asarray(_t2n(ref.proj.weight).T)
+    p["proj"]["bias"] = jnp.asarray(_t2n(ref.proj.bias))
+    p["relative_position_bias_table"] = jnp.asarray(
+        _t2n(ref.relative_position_bias_table))
+    p["w"] = jnp.asarray(_t2n(ref.w))
+
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_enhancer_use_attn_end_to_end():
+    """Enhancer(use_attn=True) runs in both modes on non-window-aligned
+    grids and stays finite; use_attn=False remains the shipped default."""
+    import jax
+    import jax.numpy as jnp
+    from gencomm_tpu.models.gencomm.enhancer import Enhancer
+
+    rng = np.random.default_rng(45)
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, 16)).astype(np.float32))
+    affine = jnp.asarray(
+        np.tile(np.array([[1, 0, 0.5], [0, 1, -0.25]], np.float32),
+                (2, 1, 1)))
+    for mode in ("angle", "window_sparse"):
+        m = Enhancer(dim=16, use_attn=True, num_heads=4, attn_mode=mode,
+                     win_size=(8, 8))
+        v = m.init(jax.random.PRNGKey(1), x, affine)
+        out = m.apply(v, x, affine)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all(), mode
