@@ -35,11 +35,15 @@ class PFNLayer(nn.Module):
 
     features: int
     use_norm: bool = True
+    # AMP analog (train_ddp.py --half): bf16 compute in the big PFN matmul
+    # (params stay fp32; BN statistics computed in fp32 either way)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, valid, train: bool = False):
         # x: (N, D), valid: (N,)
-        x = nn.Dense(self.features, use_bias=not self.use_norm)(x)
+        x = nn.Dense(self.features, use_bias=not self.use_norm,
+                     dtype=self.dtype)(x)
         if self.use_norm:
             x = MaskedBatchNorm()(x, valid, train)
         return nn.relu(x)
@@ -54,6 +58,8 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, valid, train: bool = False):
         c = x.shape[-1]
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # statistics in fp32 under AMP
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
         scale = self.param("scale", nn.initializers.ones, (c,))
@@ -70,7 +76,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class PointPillarEncoder(nn.Module):
@@ -81,6 +87,8 @@ class PointPillarEncoder(nn.Module):
     num_filters: Sequence[int] = (64,)
     use_norm: bool = True
     max_points_per_pillar: int = 0  # 0 = uncapped (TPU default)
+    # AMP analog: bf16 PFN matmul + bf16 scatter traffic (params fp32)
+    dtype: object = None
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -121,7 +129,8 @@ class PointPillarEncoder(nn.Module):
 
         # PFN over ALL points at once (one big matmul on the MXU)
         for f in self.num_filters:
-            x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
+            x = PFNLayer(features=f, use_norm=self.use_norm,
+                         dtype=self.dtype)(x, valid, train)
 
         canvas = vox.scatter_pillar_max_flat(
             x, gids, valid, b * l, nx, ny, occupancy=occ
@@ -141,7 +150,8 @@ class PointPillarEncoder(nn.Module):
         x = decorated.reshape(b * l * p, decorated.shape[-1])
         valid = dvalid.reshape(b * l * p)
         for f in self.num_filters:
-            x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
+            x = PFNLayer(features=f, use_norm=self.use_norm,
+                         dtype=self.dtype)(x, valid, train)
         agent = jax.lax.broadcasted_iota(
             jnp.int32, (b * l, p), 0
         ).reshape(b * l * p)
@@ -195,7 +205,8 @@ class PointPillarEncoder(nn.Module):
         x = x.reshape(n * k, x.shape[-1])
         valid = kmask.reshape(n * k)
         for f in self.num_filters:
-            x = PFNLayer(features=f, use_norm=self.use_norm)(x, valid, train)
+            x = PFNLayer(features=f, use_norm=self.use_norm,
+                         dtype=self.dtype)(x, valid, train)
         # masked max over the K axis — vectorized, no scatter
         feat = jnp.where(
             valid[:, None], x, jnp.finfo(x.dtype).min

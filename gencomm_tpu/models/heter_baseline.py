@@ -88,6 +88,7 @@ class ModalityBranch(nn.Module):
                     self.encoder_args["pillar_vfe"]["num_filters"]
                 ),
                 use_norm=self.encoder_args["pillar_vfe"].get("use_norm", True),
+                dtype=self.dtype,
                 name="encoder",
             )
             if "decorated" in inputs:
