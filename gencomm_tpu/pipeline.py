@@ -27,7 +27,10 @@ class InferencePipeline:
         project to ego -> union NMS; inference_utils.inference_late_fusion)
         or 'no' (ego-only; inference_no_fusion)."""
         self.model = model
-        self.variables = variables
+        # pin params to the accelerator ONCE: host-resident variables would
+        # be re-uploaded on every dispatch (seconds/frame through the axon
+        # tunnel — the r4 camera-sweep regression)
+        self.variables = jax.device_put(variables, jax.devices()[0])
         self.anchors = jnp.asarray(anchors)
         self.mode = mode
         pp = postprocess_cfg

@@ -38,6 +38,11 @@ def main(argv=None):
     parser.add_argument("--delay", type=int, default=0,
                         help="comm delay in ms (100 ms frames)")
     parser.add_argument("--infer_info", default=None)
+    parser.add_argument("--ckpt", default=None,
+                        help="evaluate this checkpoint dir instead of "
+                             "bestval/latest (convergence curves)")
+    parser.add_argument("--score_threshold", type=float, default=None,
+                        help="override postprocess score_threshold")
     parser.add_argument("--use_cav", type=int, default=0,
                         help="cap the number of collaborating agents "
                         "(dynamic in-order evaluation, "
@@ -89,6 +94,9 @@ def main(argv=None):
         }
     if args.delay:
         hypes["wild_setting"] = {"async": True, "async_overhead": args.delay}
+    if args.score_threshold is not None:
+        hypes["postprocess"]["target_args"]["score_threshold"] = \
+            args.score_threshold
 
     np.random.seed(303)  # reference inference.py:107
     from gencomm_tpu.tools.train import build_dataset
@@ -97,9 +105,10 @@ def main(argv=None):
     model = create_model(hypes)
 
     # prefer the bestval checkpoint at eval (reference
-    # train_utils.load_saved_model:168-216)
-    ckpt_path = (checkpoint.bestval_checkpoint(args.model_dir)
-                 or checkpoint.latest_checkpoint(args.model_dir))
+    # train_utils.load_saved_model:168-216); --ckpt pins a specific one
+    # (the reference's eval-at-epoch convention, inference.py --epoch)
+    ckpt_path = args.ckpt or (checkpoint.bestval_checkpoint(args.model_dir)
+                              or checkpoint.latest_checkpoint(args.model_dir))
     assert ckpt_path, f"no checkpoint in {args.model_dir}"
     restored = checkpoint.load_checkpoint(ckpt_path)
 

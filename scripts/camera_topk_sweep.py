@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint dir (default bestval/latest)")
+    ap.add_argument("--score_threshold", type=float, default=None,
+                    help="override postprocess score_threshold (AP is "
+                         "rank-based; a low threshold keeps weak but "
+                         "correctly-ranked detections in the curve)")
     args = ap.parse_args()
 
     import gencomm_tpu
@@ -60,8 +66,11 @@ def main():
         hypes["postprocess"]["anchor_args"],
         hypes["postprocess"].get("order", "hwl"),
     )
-    ckpt_path = (checkpoint.bestval_checkpoint(args.model_dir)
-                 or checkpoint.latest_checkpoint(args.model_dir))
+    if args.score_threshold is not None:
+        hypes["postprocess"]["target_args"]["score_threshold"] = \
+            args.score_threshold
+    ckpt_path = args.ckpt or (checkpoint.bestval_checkpoint(args.model_dir)
+                              or checkpoint.latest_checkpoint(args.model_dir))
     restored = checkpoint.load_checkpoint(ckpt_path)
 
     base_model = create_model(hypes)
@@ -99,13 +108,22 @@ def main():
                                  h["postprocess"])
         stat = eval_utils.new_result_stat()
         t_dev = 0.0
+        n_timed = 0
+        seen_buckets = set()  # first frame of each agent bucket compiles
         for f, host in enumerate(frames):
             batch = {k2: jnp.asarray(v) for k2, v in host.items()}
+            # transfers are async — block so the timed region is the model
+            # step only (bench.py's device-resident-input convention; the
+            # tunnel's host->device image upload otherwise dominates)
+            jax.block_until_ready(batch)
+            bucket = host["agent_mask"].shape[1]
             t0 = time.perf_counter()
             dets = pipe.run(batch, seed=f)
             jax.block_until_ready(dets.scores)
-            if f > 0:  # skip compile frame
+            if bucket in seen_buckets:
                 t_dev += time.perf_counter() - t0
+                n_timed += 1
+            seen_buckets.add(bucket)
             valid = np.asarray(dets.valid[0])
             corners = np.asarray(dets.corners3d[0])[valid]
             scores = np.asarray(dets.scores[0])[valid]
@@ -114,7 +132,7 @@ def main():
             for t in (0.3, 0.5, 0.7):
                 eval_utils.calculate_tp_fp(corners, scores, gt, stat, t)
         res = eval_utils.eval_final_results(stat, global_sort_detections=True)
-        fps = (len(frames) - 1) / t_dev if t_dev else 0.0
+        fps = n_timed / t_dev if t_dev else 0.0
         results[name] = {**{k2: round(float(v), 4) for k2, v in res.items()},
                          "model_fps": round(fps, 1)}
         print(name, results[name], flush=True)

@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh
 
+# shard_map compiles dominate (~9 min for this file on a 1-core VM);
+# excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 from gencomm_tpu.parallel.agent_comm import (
     AgentLocalNet, CameraAgentLocalNet, EgoCollabNet, AgentSPMDPipeline,
     HeteroLocalNet, HeteroAgentSPMDPipeline,
