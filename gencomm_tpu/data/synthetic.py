@@ -54,6 +54,24 @@ class SyntheticConfig:
     modalities: dict = field(
         default_factory=lambda: {"m1": {"sensor": "lidar"}}
     )
+    # Eval-time robustness knobs (reference noise_setting / wild_setting).
+    # pos_std/rot_std perturb every agent's pose ESTIMATE — the pairwise
+    # warp matrix is built from the noisy poses while points, rendering
+    # and GT stay on the true poses (pose_utils.add_noise_data_dict
+    # semantics: lidar_pose gets noise, lidar_pose_clean feeds the GT).
+    # delay_ms makes non-ego agents observe the scene STALE: vehicles are
+    # displaced backwards along their heading by speed*delay before the
+    # neighbor's points/images are sampled (the synthetic analog of the
+    # OPV2V loader replaying an older frame for non-ego CAVs,
+    # opv2v_basedataset.time_delay_calculation:706-744). Noise/speed draws
+    # come from a SEPARATE rng stream so the underlying scenes are
+    # bit-identical across sweep settings (paired comparison, like the
+    # reference's fixed-seed dataset rebuild per noise level).
+    pos_std: float = 0.0
+    rot_std: float = 0.0  # degrees, applied to yaw
+    laplace_noise: bool = False
+    delay_ms: float = 0.0
+    vehicle_speed_max: float = 8.0  # m/s, uniform per vehicle
     # cap vehicle spawn distance from the ego (0 = anywhere in lidar_range).
     # Camera-labelled configs (label_type: camera) set this to the depth
     # discretization's d_max so every GT box is physically visible — the
@@ -211,9 +229,19 @@ class SyntheticScenes:
                 poses[i, 0] = rng.uniform(-c.comm_range / 2, c.comm_range / 2)
                 poses[i, 1] = rng.uniform(-20, 20)
                 poses[i, 4] = rng.uniform(-180, 180)
-            pairwise[b, :, :] = get_pairwise_transformation(poses, L, na).astype(
-                np.float32
-            )
+            # pose estimates for the warp: true poses + (optional) noise
+            # drawn from a scene-independent stream (see config docstring)
+            nrng = np.random.RandomState((seed * 131 + b) ^ 0x5EED)
+            est_poses = poses.copy()
+            if c.pos_std > 0 or c.rot_std > 0:
+                draw = (nrng.laplace if c.laplace_noise else nrng.normal)
+                for i in range(na):
+                    est_poses[i, 0] += draw(0.0, c.pos_std or 1e-12)
+                    est_poses[i, 1] += draw(0.0, c.pos_std or 1e-12)
+                    est_poses[i, 4] += draw(0.0, c.rot_std or 1e-12)
+            pairwise[b, :, :] = get_pairwise_transformation(
+                est_poses, L, na
+            ).astype(np.float32)
 
             # vehicles in ego (world) frame
             nv = c.num_vehicles
@@ -243,12 +271,24 @@ class SyntheticScenes:
             gt_boxes[b, :nv] = boxes
             gt_mask[b, :nv] = 1.0
 
+            # comm-delay analog: non-ego agents observe the vehicles
+            # delay_ms stale, displaced backwards along their heading
+            stale_boxes = boxes
+            if c.delay_ms > 0:
+                spd = nrng.uniform(0.0, c.vehicle_speed_max, nv)
+                dt = c.delay_ms / 1000.0
+                stale_boxes = boxes.copy()
+                stale_boxes[:, 0] -= spd * np.cos(boxes[:, 6]) * dt
+                stale_boxes[:, 1] -= spd * np.sin(boxes[:, 6]) * dt
+
             for i in range(na):
                 mk = mod_names[i % len(mod_names)]
                 modality_mask[mk][b, i] = True
                 world_to_agent = np.linalg.inv(x_to_world(poses[i]))
+                obs_boxes = boxes if i == 0 else stale_boxes
                 pts_list = [
-                    self._sample_vehicle_points(rng, boxes[v]) for v in range(nv)
+                    self._sample_vehicle_points(rng, obs_boxes[v])
+                    for v in range(nv)
                 ]
                 veh = np.concatenate(pts_list, 0)
                 if mk in cam_mods:

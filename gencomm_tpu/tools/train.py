@@ -65,8 +65,19 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
         vs = hypes.get("preprocess", {}).get("args", {}).get(
             "voxel_size", (0.4, 0.4, 4.0)
         )
+        # robustness knobs (inference --pos_std/--rot_std/--delay write
+        # these blocks; the real loaders consume them natively, the
+        # synthetic generator through its config)
+        ns = hypes.get("noise_setting", {})
+        nargs = ns.get("args", {}) if ns.get("add_noise") else {}
+        ws = hypes.get("wild_setting", {})
         cfg = SyntheticConfig(
             lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),
+            pos_std=float(nargs.get("pos_std", 0.0)),
+            rot_std=float(nargs.get("rot_std", 0.0)),
+            laplace_noise=bool(nargs.get("laplace", False)),
+            delay_ms=float(ws.get("async_overhead", 0.0))
+            if ws.get("async") else 0.0,
             max_cav=hypes["train_params"]["max_cav"],
             per_agent_labels=needs_single,
             modalities=modalities,
