@@ -23,6 +23,9 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 
 def tf_same_pad(x, k, s):
     """TF-style SAME padding (what efficientnet_pytorch's

@@ -10,6 +10,9 @@ from gencomm_tpu.data.dairv2x import (
     DAIRV2XDataset, veh_side_pose_tfm, inf_side_pose_tfm, tfm_to_pose,
 )
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 
 def write_pcd(path, pts):
     with open(path, "w") as f:

@@ -13,6 +13,9 @@ from gencomm_tpu.loss.point_pillar_loss import PointPillarCodebookLoss
 from gencomm_tpu.train import trainer
 from tests.test_model_forward import TINY, MODALITY_ARGS, LOSS_ARGS
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def batch():

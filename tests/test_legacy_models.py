@@ -8,6 +8,9 @@ import pytest
 from gencomm_tpu.data.synthetic import SyntheticScenes
 from tests.test_model_forward import TINY, MODALITY_ARGS
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def batch():

@@ -10,6 +10,9 @@ from gencomm_tpu.models.heter_baseline import HeterModel
 from gencomm_tpu.data.synthetic import SyntheticScenes
 from tests.test_model_forward import TINY, MODALITY_ARGS
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 GRID_CONF = {
     "xbound": [-16.0, 16.0, 0.4],
     "ybound": [-8.0, 8.0, 0.4],

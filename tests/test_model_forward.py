@@ -7,6 +7,9 @@ from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
 from gencomm_tpu.models.heter_baseline import HeterModel
 from gencomm_tpu.loss.point_pillar_loss import PointPillarGenCommLoss
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 TINY = SyntheticConfig(
     lidar_range=(-16.0, -8.0, -3.0, 16.0, 8.0, 1.0),
     max_cav=3,

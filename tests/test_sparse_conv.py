@@ -1,10 +1,14 @@
 """Sparse 3D conv correctness vs dense XLA conv on tiny grids."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gencomm_tpu.ops import sparse as sp
+
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
 
 GRID = (5, 6, 7)  # (D, H, W)
 

@@ -19,6 +19,9 @@ from gencomm_tpu.train import trainer
 from tests.test_model_forward import TINY, MODALITY_ARGS, LOSS_ARGS
 from tests.test_heter_model import M2_SECOND_ARGS
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def stage2_setup():

@@ -11,6 +11,9 @@ import os
 import yaml
 import pytest
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 
 TINY_HYPES = {
     "name": "tiny_cli",

@@ -23,6 +23,9 @@ import yaml
 from gencomm_tpu.data.v2xreal import V2XRealDataset, CLASS_NAMES
 from gencomm_tpu.utils.transformation_utils import x_to_world
 
+# heavy suite: excluded from the fast subset (`pytest -m "not slow"`, VERDICT r3 #9)
+pytestmark = pytest.mark.slow
+
 LIDAR_RANGE = [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0]
 
 ANCHOR_GEN = [
