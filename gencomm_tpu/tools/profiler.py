@@ -159,11 +159,20 @@ def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
     agg = collections.Counter()
     unattributed = 0.0
     total = 0.0
+    envelope = 0.0
+    n_env = 0
     for e in ev:
         if e.get("ph") == "X" and "dur" in e and \
                 "TPU" in pids.get(e.get("pid"), ""):
             name = e["name"]
             if name.startswith("jit_"):
+                continue
+            if name.isdigit():
+                # axon backend per-execution envelope events (one per
+                # program run, named by execution index): they span the
+                # whole step and would double-count every op below
+                envelope += e["dur"]
+                n_env += 1
                 continue
             total += e["dur"]
             path = op2path.get(name)
@@ -176,6 +185,9 @@ def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
               "no per-module breakdown")
         return []
     rows = [(d / iters, path) for path, d in agg.most_common(top)]
+    if n_env:
+        print(f"step envelope {envelope / n_env:.0f} us/execution "
+              f"({n_env} executions)")
     print(f"device total {total / iters:.0f} us/iter, by module "
           f"(unattributed {unattributed / total * 100:.0f}%):")
     for us, path in rows:
@@ -340,6 +352,15 @@ def main(argv=None):
               + (f", {tfl / 1e9:.1f} GFLOPs, MFU {train_mfu * 100:.2f}%"
                  if train_mfu is not None else ""))
         result.update(train_flops=tfl, train_mfu=train_mfu)
+        if args.by_module:
+            # per-module attribution of the TRAIN step (fwd+bwd+adam):
+            # a non-donating step so the tracer can replay the same
+            # buffers across its warmup + traced iterations
+            trace_step = trainer.make_train_step(
+                model, criterion, tx, donate=False)
+            trace_by_module(
+                lambda s, b_, k: trace_step(s, b_, k)[0].params,
+                state, batch, base_key)
         stats = jax.devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
         if peak:
