@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import gencomm_tpu
 
 gencomm_tpu.enable_persistent_cache()
+gencomm_tpu.enable_fast_prng()
 
 from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
 from gencomm_tpu.models.heter_baseline import HeterModel
@@ -33,7 +34,7 @@ from gencomm_tpu.pipeline import InferencePipeline
 PYTORCH_GPU_BASELINE_FPS = 10.0
 
 
-def build_flagship():
+def build_flagship(half: bool = True):
     cfg = SyntheticConfig(
         lidar_range=(-102.4, -51.2, -3.0, 102.4, 51.2, 1.0),
         max_cav=5,
@@ -71,12 +72,17 @@ def build_flagship():
         in_head=128,
         use_gencomm=True,
         use_enhancer=True,
+        # bf16 activations end-to-end (params fp32, heads+decode fp32):
+        # the r4 by-module trace showed the step is conv-bound (BEV neck
+        # 39% + UNet 17% + encoder 10%); bf16 halves conv bytes+cycles.
+        # Parity evidence vs fp32: measurements/bf16_parity.json
+        half=half,
     )
     return scenes, model, cfg
 
 
 def main():
-    scenes, model, cfg = build_flagship()
+    scenes, model, cfg = build_flagship(half=True)
     host = scenes.sample(seed=0, batch_size=1)
     rng = jax.random.PRNGKey(0)
     from gencomm_tpu.train.trainer import cpu_init
@@ -170,6 +176,7 @@ def main():
         "vs_baseline": round(fps / PYTORCH_GPU_BASELINE_FPS, 3),
         "fps_dispatch_loop": round(fps_loop, 2),
         "fps_streamed": round(fps_stream, 2),
+        "dtype": "bf16",
     }))
 
 

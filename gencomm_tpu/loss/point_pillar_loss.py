@@ -238,7 +238,8 @@ class PointPillarGMatchLoss:
         out_t["reg_preds"] = output["reg_preds_T"]
         out_t["dir_preds"] = output["dir_preds_T"]
         loss_t = self.det(out_t, target, suffix)["total_loss"]
-        pred, gt = output["pred_feature"], output["gt_feature"]
+        pred = output["pred_feature"].astype(jnp.float32)
+        gt = output["gt_feature"].astype(jnp.float32)  # --half emits bf16
         gen = jnp.mean((pred - gt) ** 2)
         return {"loss_S": loss_s, "loss_T": loss_t, "gen_loss": gen,
                 "total_loss": loss_s + self.generate_weight * gen}
@@ -291,7 +292,8 @@ class PointPillarGenCommLoss(PointPillarLoss):
         if "pred_feature" in output and "gt_feature" in output:
             # NOTE: the reference does NOT detach gt_feature — gradients flow
             # into the encoder from the generation MSE too.
-            pred, gt = output["pred_feature"], output["gt_feature"]
+            pred = output["pred_feature"].astype(jnp.float32)
+            gt = output["gt_feature"].astype(jnp.float32)  # --half emits bf16
             mask = output.get("feature_mask")  # (B*L,) or (B, L) valid agents
             err = (pred - gt) ** 2
             if mask is not None:

@@ -107,7 +107,8 @@ class PointPillarV2XRealGenCommLoss(PointPillarV2XRealLoss):
     def __call__(self, output: dict, target: dict, suffix: str = "") -> dict:
         losses = super().__call__(output, target, suffix)
         if "pred_feature" in output and "gt_feature" in output:
-            pred, gt = output["pred_feature"], output["gt_feature"]
+            pred = output["pred_feature"].astype(jnp.float32)
+            gt = output["gt_feature"].astype(jnp.float32)  # --half emits bf16
             mask = output.get("feature_mask")
             err = (pred - gt) ** 2
             if mask is not None:

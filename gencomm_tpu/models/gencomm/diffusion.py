@@ -63,6 +63,11 @@ class GenCommDiffusion(nn.Module):
     unet_num_res_blocks: int = 2
     unet_attn_resolutions: Sequence[int] = (16,)
     dropout: float = 0.0
+    # AMP: run the denoiser chain in bf16 (the --half inference analog).
+    # Schedule coefficients are applied as Python floats so they stay
+    # weakly typed — a numpy float64 scalar would silently promote the
+    # bf16 chain back to fp32.
+    dtype: object = None
 
     def setup(self):
         self.denoiser = DiffusionUNet(
@@ -72,6 +77,7 @@ class GenCommDiffusion(nn.Module):
             num_res_blocks=self.unet_num_res_blocks,
             attn_resolutions=tuple(self.unet_attn_resolutions),
             dropout=self.dropout,
+            dtype=self.dtype,
         )
         self._sched = make_schedule(self.num_timesteps)
 
@@ -87,14 +93,22 @@ class GenCommDiffusion(nn.Module):
         s = self._sched
         t_max = self.num_timesteps - 1
         n = ego_feature.shape[0]
+        if self.dtype is not None:
+            ego_feature = ego_feature.astype(self.dtype)
+            conditions = conditions.astype(self.dtype)
 
         rng = self.make_rng("diffusion")
         rngs = jax.random.split(rng, self.num_timesteps + 1)
 
-        noise = jax.random.normal(rngs[0], ego_feature.shape, ego_feature.dtype)
+        # noise drawn in fp32 then cast: bf16 sampling uses different bits,
+        # which would change the noise REALIZATION (not just its rounding)
+        # between the fp32 and --half graphs
+        noise = jax.random.normal(
+            rngs[0], ego_feature.shape, jnp.float32
+        ).astype(ego_feature.dtype)
         x = (
-            s["sqrt_alphas_cumprod"][t_max] * ego_feature
-            + s["sqrt_one_minus_alphas_cumprod"][t_max] * noise
+            float(s["sqrt_alphas_cumprod"][t_max]) * ego_feature
+            + float(s["sqrt_one_minus_alphas_cumprod"][t_max]) * noise
         )
 
         for t in range(t_max, -1, -1):
@@ -106,11 +120,13 @@ class GenCommDiffusion(nn.Module):
                 x = model_out  # x0-parameterization, final "upsam" step
             else:
                 mean = (
-                    s["posterior_mean_coef1"][t] * model_out
-                    + s["posterior_mean_coef2"][t] * x
+                    float(s["posterior_mean_coef1"][t]) * model_out
+                    + float(s["posterior_mean_coef2"][t]) * x
                 )
-                step_noise = jax.random.normal(rngs[t], x.shape, x.dtype)
-                x = mean + np.exp(
+                step_noise = jax.random.normal(
+                    rngs[t], x.shape, jnp.float32
+                ).astype(x.dtype)
+                x = mean + float(np.exp(
                     0.5 * s["posterior_log_variance_clipped"][t]
-                ) * step_noise
+                )) * step_noise
         return x

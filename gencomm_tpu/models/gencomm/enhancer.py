@@ -37,6 +37,7 @@ class FRFN(nn.Module):
 
     dim: int
     hidden_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -44,18 +45,19 @@ class FRFN(nn.Module):
         dim_conv = self.dim // 4
         x1, x2 = x[..., :dim_conv], x[..., dim_conv:]
         x1 = nn.Conv(dim_conv, (3, 3), padding="SAME", use_bias=False,
-                     name="partial_conv")(x1)
-        x = jnp.concatenate([x1, x2], axis=-1)
+                     dtype=self.dtype, name="partial_conv")(x1)
+        x = jnp.concatenate([x1, x2.astype(x1.dtype)], axis=-1)
 
-        x = nn.Dense(self.hidden_dim * 2, name="linear1")(x)
+        x = nn.Dense(self.hidden_dim * 2, dtype=self.dtype, name="linear1")(x)
         x = nn.gelu(x)
         g1, g2 = jnp.split(x, 2, axis=-1)
         g1 = nn.Conv(
             self.hidden_dim, (3, 3), padding="SAME",
-            feature_group_count=self.hidden_dim, name="dwconv",
+            feature_group_count=self.hidden_dim, dtype=self.dtype,
+            name="dwconv",
         )(g1)
         g1 = nn.gelu(g1)
-        return nn.Dense(self.dim, name="linear2")(g1 * g2)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(g1 * g2)
 
 
 class SplitAttn(nn.Module):
@@ -63,15 +65,20 @@ class SplitAttn(nn.Module):
     radix=1 path)."""
 
     dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        gap = x.mean(axis=(1, 2), keepdims=True)  # (N, 1, 1, C)
-        y = nn.Dense(self.dim, use_bias=False, name="fc1")(gap)
-        y = nn.LayerNorm(name="ln")(y)
+        # global pool accumulates in fp32 (bf16 mean over H*W loses bits)
+        gap = x.astype(jnp.float32).mean(axis=(1, 2), keepdims=True)
+        gap = gap.astype(x.dtype)  # (N, 1, 1, C)
+        y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="fc1")(gap)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.dim, use_bias=False, name="fc2")(y)
-        return x * nn.sigmoid(y)
+        y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="fc2")(y)
+        return x * nn.sigmoid(y).astype(x.dtype)
 
 
 def _angle_bias(table, affine, h, w):
@@ -106,6 +113,7 @@ class AngleBiasAttention(nn.Module):
     dim: int
     num_heads: int
     angle_bins: int = 5  # enhancer.py:100
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, affine=None, hw=None):
@@ -113,8 +121,9 @@ class AngleBiasAttention(nn.Module):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
-        q = nn.Dense(c, name="to_q")(x).reshape(b, n, h, hd)
-        kv = nn.Dense(2 * c, name="to_kv")(x).reshape(b, n, 2, h, hd)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x).reshape(b, n, h, hd)
+        kv = nn.Dense(2 * c, dtype=self.dtype,
+                      name="to_kv")(x).reshape(b, n, 2, h, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k)
         if affine is not None:
@@ -123,10 +132,10 @@ class AngleBiasAttention(nn.Module):
                 (self.angle_bins, h),
             )  # init ones, enhancer.py:102
             bias = _angle_bias(table, affine, hw[0], hw[1])  # (B, h, N)
-            attn = attn * bias[..., None]
-        attn = nn.softmax(attn, axis=-1)
+            attn = attn * bias[..., None].astype(attn.dtype)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 def _relative_position_index(wh, ww):
@@ -150,6 +159,7 @@ class WindowAttentionSparse(nn.Module):
     dim: int
     num_heads: int
     win_size: tuple  # (Wh, Ww)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -158,10 +168,12 @@ class WindowAttentionSparse(nn.Module):
         h = self.num_heads
         hd = c // h
         wh, ww = self.win_size
-        q = nn.Dense(c, name="to_q")(x).reshape(b, n, h, hd)
-        kv = nn.Dense(2 * c, name="to_kv")(x).reshape(b, n, 2, h, hd)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x).reshape(b, n, h, hd)
+        kv = nn.Dense(2 * c, dtype=self.dtype,
+                      name="to_kv")(x).reshape(b, n, 2, h, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k)
+        attn = attn.astype(jnp.float32)
 
         table = self.param(
             "relative_position_bias_table",
@@ -174,8 +186,9 @@ class WindowAttentionSparse(nn.Module):
         blend = self.param("w", nn.initializers.ones, (2,))
         w1, w2 = nn.softmax(blend)
         attn = nn.softmax(attn, axis=-1) * w1 + nn.relu(attn) * w2
+        attn = attn.astype(v.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 def window_partition(x, wh, ww):
@@ -201,17 +214,20 @@ class EnhancerBlock(nn.Module):
     num_heads: int = 4
     attn_mode: str = "angle"  # "angle" | "window_sparse"
     win_size: tuple = (8, 8)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, affine=None):
         n, hgt, wid, c = x.shape
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         if self.use_attn:
             # the re-enabled enhancer.py:352 branch
             if self.attn_mode == "angle":
                 y = AngleBiasAttention(
-                    self.dim, self.num_heads, name="attn",
+                    self.dim, self.num_heads, dtype=self.dtype, name="attn",
                 )(y.reshape(n, hgt * wid, c), affine, (hgt, wid))
                 y = y.reshape(n, hgt, wid, c)
             elif self.attn_mode == "window_sparse":
@@ -221,7 +237,8 @@ class EnhancerBlock(nn.Module):
                 yp = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
                 win = window_partition(yp, wh, ww)
                 win = WindowAttentionSparse(
-                    self.dim, self.num_heads, (wh, ww), name="attn",
+                    self.dim, self.num_heads, (wh, ww), dtype=self.dtype,
+                    name="attn",
                 )(win)
                 y = window_reverse(
                     win, wh, ww, hgt + pad_h, wid + pad_w
@@ -229,8 +246,8 @@ class EnhancerBlock(nn.Module):
             else:
                 raise ValueError(f"unknown attn_mode {self.attn_mode!r}")
         x = shortcut + y  # with use_attn=False: the shipped residual quirk
-        x = x + FRFN(self.dim, self.dim * 2, name="mlp")(
-            nn.LayerNorm(name="norm2")(x)
+        x = x + FRFN(self.dim, self.dim * 2, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         )
         return x
 
@@ -241,6 +258,7 @@ class Enhancer(nn.Module):
     num_heads: int = 4
     attn_mode: str = "angle"
     win_size: tuple = (8, 8)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, affine=None):
@@ -249,6 +267,6 @@ class Enhancer(nn.Module):
         s = EnhancerBlock(
             self.dim, use_attn=self.use_attn, num_heads=self.num_heads,
             attn_mode=self.attn_mode, win_size=self.win_size,
-            name="block_1",
+            dtype=self.dtype, name="block_1",
         )(x, affine)
-        return SplitAttn(self.dim, name="split_attn")(s)
+        return SplitAttn(self.dim, dtype=self.dtype, name="split_attn")(s)

@@ -154,7 +154,9 @@ class ModalityBranch(nn.Module):
             dtype=self.dtype,
             name="shrinker",
         )(feat)
-        feat = feat.astype(jnp.float32)  # fusion/heads stay fp32
+        # under --half the feature stays bf16 through message extraction /
+        # generation / fusion (heads cast back to fp32 at their call sites)
+        feat = feat.astype(self.dtype or jnp.float32)
         return feat.reshape((b, l) + feat.shape[1:])  # (B, L, H, W, C)
 
 
@@ -397,7 +399,8 @@ class HeterModel(nn.Module):
             feature = jnp.where(is_ego, feature, corrupted)
 
         if self.supervise_single:
-            flat_feat = feature.reshape((b * l,) + feature.shape[2:])
+            flat_feat = feature.reshape(
+                (b * l,) + feature.shape[2:]).astype(jnp.float32)
             cls_s, reg_s, dir_s = DetectionHeads(
                 self.anchor_number, self.dir_bins, self.num_class,
                 name="heads_single",
@@ -469,7 +472,8 @@ class HeterModel(nn.Module):
             # (heter_model_baseline_w_codebook.py:304-312)
             from gencomm_tpu.models.fuse.where2comm import Communication
 
-            flat_feat = feature.reshape((b * l,) + feature.shape[2:])
+            flat_feat = feature.reshape(
+                (b * l,) + feature.shape[2:]).astype(jnp.float32)
             cls_before = heads(flat_feat)[0]
             conf = cls_before.reshape((b, l) + cls_before.shape[1:])
             masks, rate = Communication(
@@ -508,6 +512,7 @@ class HeterModel(nn.Module):
                 unet_ch=self.unet_ch,
                 unet_ch_mult=tuple(self.unet_ch_mult),
                 unet_num_res_blocks=self.unet_num_res_blocks,
+                dtype=jnp.bfloat16 if self.half else None,
                 name="gencomm",
             )(ego_bc, cond, train)
 
@@ -531,6 +536,7 @@ class HeterModel(nn.Module):
                     num_heads=self.enhancer_num_heads,
                     attn_mode=self.enhancer_attn_mode,
                     win_size=tuple(self.enhancer_win_size),
+                    dtype=jnp.bfloat16 if self.half else None,
                     name="enhancer",
                 )(fused_in, agent_affine)
             feature = fused_in.reshape((b, l) + hw + (pred.shape[-1],))
@@ -547,11 +553,11 @@ class HeterModel(nn.Module):
             # T path: original features through the SAME fusion + heads
             gt_feat = out["gt_feature"].reshape(feature.shape)
             fused_t = fusion(gt_feat, affine, agent_mask, train)
-            cls_t, reg_t, dir_t = heads(fused_t)
+            cls_t, reg_t, dir_t = heads(fused_t.astype(jnp.float32))
             out.update(cls_preds_T=cls_t, reg_preds_T=reg_t,
                        dir_preds_T=dir_t)
 
-        cls_preds, reg_preds, dir_preds = heads(fused)
+        cls_preds, reg_preds, dir_preds = heads(fused.astype(jnp.float32))
         out.update(cls_preds=cls_preds, reg_preds=reg_preds, dir_preds=dir_preds)
 
         if self.seg_head_target:
@@ -559,7 +565,7 @@ class HeterModel(nn.Module):
 
             out.update(BevSegHead(
                 target=self.seg_head_target, name="seg_head",
-            )(fused))
+            )(fused.astype(jnp.float32)))
         return out
 
 

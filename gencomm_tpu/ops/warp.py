@@ -104,7 +104,15 @@ def grid_sample_bilinear_nhwc(img, grid):
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    c_in = img.shape[-1]
     flat = img.reshape(img.shape[:-3] + (h_in * w_in,) + img.shape[-1:])
+    # bf16 inputs: gather f32-bitcast CHANNEL PAIRS — half the elements per
+    # row for the same bytes (the bf16 row gather measured ~1.6x slower
+    # than fp32 on the flagship), then bitcast back for the lerp
+    paired = img.dtype == jnp.bfloat16 and c_in % 2 == 0
+    if paired:
+        flat = jax.lax.bitcast_convert_type(
+            flat.reshape(flat.shape[:-1] + (c_in // 2, 2)), jnp.float32)
 
     def gather(ix, iy):
         inb = (ix >= 0) & (ix <= w_in - 1) & (iy >= 0) & (iy <= h_in - 1)
@@ -112,6 +120,10 @@ def grid_sample_bilinear_nhwc(img, grid):
         iyc = jnp.clip(iy, 0, h_in - 1).astype(jnp.int32)
         idx = (iyc * w_in + ixc).reshape(ix.shape[:-2] + (-1,))  # (..., hw)
         taken = jnp.take_along_axis(flat, idx[..., :, None], axis=-2)
+        if paired:
+            taken = jax.lax.bitcast_convert_type(
+                taken, jnp.bfloat16
+            ).reshape(taken.shape[:-1] + (c_in,))
         return taken, inb
 
     t00, m00 = gather(x0, y0)
@@ -120,7 +132,11 @@ def grid_sample_bilinear_nhwc(img, grid):
     t11, m11 = gather(x1, y1)
 
     def wgt(wx, wy, m):
-        w2 = (wx * wy) * m.astype(img.dtype)
+        # weights stay in the image dtype: an f32 weight would promote the
+        # whole lerp and re-insert per-tap converts on the bf16 path (the
+        # lerp weights are in [0,1]; bf16 rounding there is ~0.4%, well
+        # under the half-path activation precision)
+        w2 = (wx * wy).astype(img.dtype) * m.astype(img.dtype)
         return w2.reshape(w2.shape[:-2] + (-1, 1))  # (..., hw, 1)
 
     out = (

@@ -117,7 +117,7 @@ def synthetic_batch_for_hypes(hypes: dict, num_agents: int = 2,
 
 
 def bench_config(name: str, path: str, mode: str, iters: int = 20,
-                 quiet: bool = False):
+                 quiet: bool = False, half: bool = False):
     from gencomm_tpu.config.yaml_utils import load_yaml
     from gencomm_tpu.models import create_model
     from gencomm_tpu.data.postprocessor import generate_anchor_box
@@ -125,6 +125,8 @@ def bench_config(name: str, path: str, mode: str, iters: int = 20,
     from gencomm_tpu.pipeline import InferencePipeline
 
     hypes = load_yaml(path)
+    if half:
+        hypes["model"]["args"]["half"] = True
     model = create_model(hypes)
     scenes, host = synthetic_batch_for_hypes(hypes)
     if mode in ("late", "no"):
@@ -155,6 +157,7 @@ def bench_config(name: str, path: str, mode: str, iters: int = 20,
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(
         variables["params"]))
     row = {"config": name, "yaml": path, "mode": mode,
+           "dtype": "bf16" if half else "fp32",
            "fps": round(1.0 / dt, 2), "ms_per_frame": round(dt * 1e3, 2),
            "compile_s": round(compile_s, 1),
            "params_M": round(n_params / 1e6, 3)}
@@ -163,7 +166,7 @@ def bench_config(name: str, path: str, mode: str, iters: int = 20,
     return row
 
 
-def added_cost_matrix(iters: int = 20, only=None):
+def added_cost_matrix(iters: int = 20, only=None, half: bool = False):
     """Measured analog of the poster's #P/#F table: fps + total params per
     hetero method on the shared m1+m2 agents, and deltas vs the plain
     multi-modality att baseline. Returns the list of row dicts."""
@@ -174,7 +177,7 @@ def added_cost_matrix(iters: int = 20, only=None):
             continue
         try:
             row = bench_config(name, path, "intermediate", iters,
-                               quiet=True)
+                               quiet=True, half=half)
         except Exception as e:
             print(json.dumps({"config": name, "error": repr(e)[:300]}),
                   flush=True)
@@ -195,6 +198,7 @@ def main(argv=None):
     import gencomm_tpu
 
     gencomm_tpu.enable_persistent_cache()
+    gencomm_tpu.enable_fast_prng()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--only", default=None,
@@ -203,16 +207,20 @@ def main(argv=None):
                     help="run the five-hetero-method added-cost matrix "
                          "(poster #P/#F analog) instead of the default "
                          "config list")
+    ap.add_argument("--half", action="store_true",
+                    help="bf16 activation path (tools/inference.py --half)")
     args = ap.parse_args(argv)
     if args.added_cost:
         return added_cost_matrix(args.iters,
-                                 args.only.split(",") if args.only else None)
+                                 args.only.split(",") if args.only else None,
+                                 half=args.half)
     rows = []
     for name, path, mode in DEFAULT_CONFIGS:
         if args.only and name not in args.only.split(","):
             continue
         try:
-            rows.append(bench_config(name, path, mode, args.iters))
+            rows.append(bench_config(name, path, mode, args.iters,
+                                     half=args.half))
         except Exception as e:  # keep the matrix running
             print(json.dumps({"config": name, "error": repr(e)[:300]}),
                   flush=True)

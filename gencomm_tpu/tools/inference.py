@@ -27,6 +27,7 @@ def main(argv=None):
     import gencomm_tpu
 
     gencomm_tpu.enable_persistent_cache()
+    gencomm_tpu.enable_fast_prng()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--dataset", default="opv2v",
@@ -59,9 +60,17 @@ def main(argv=None):
                         help="override the detection range as "
                              "'xmin,ymin,zmin,xmax,ymax,zmax' and re-derive "
                              "the anchor grid (reference inference.py:50-73)")
+    parser.add_argument("--half", action="store_true",
+                        help="bf16 inference: activations run bf16 through "
+                             "encoder/backbone/GenComm/fusion, heads+decode "
+                             "fp32 (the train --half analog applied at "
+                             "eval; fp32 checkpoints load unchanged — "
+                             "params stay fp32)")
     args = parser.parse_args(argv)
 
     hypes = load_yaml(None, args.model_dir)
+    if args.half:
+        hypes["model"]["args"]["half"] = True
     if args.det_range:
         rng_ = [float(v) for v in args.det_range.split(",")]
         assert len(rng_) == 6, "--range needs 6 comma-separated floats"
@@ -89,6 +98,7 @@ def main(argv=None):
     if args.pos_std or args.rot_std:
         hypes["noise_setting"] = {
             "add_noise": True,
+            "add_pose_noise": True,
             "args": {"pos_std": args.pos_std, "rot_std": args.rot_std,
                      "laplace": args.laplace},
         }

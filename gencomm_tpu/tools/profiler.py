@@ -112,13 +112,20 @@ def trace_op_breakdown(fn, *args, iters: int = 5, trace_dir: str | None = None,
 
 
 def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
-                    top: int = 25) -> list:
+                    top: int = 25, iter_args: list | None = None) -> list:
     """Aggregate device-trace op time by MODEL MODULE: join the trace's op
     names against the compiled HLO's op_name metadata (which carries the
     flax module path) and sum device time per path prefix.
 
     This answers "which module owns the time" — the raw trace only shows
-    fused op names (fusion.N / copy.N)."""
+    fused op names (fusion.N / copy.N).
+
+    ``iter_args``: optional list of per-iteration argument tuples. The axon
+    backend dedupes executions whose input buffers are bit-identical, so a
+    non-donating step replayed on the same (state, batch, key) may execute
+    fewer times than ``iters`` and underreport per-iter module times — pass
+    distinct args (e.g. a fresh PRNG key per iter) to keep every traced
+    execution real. The printed envelope count is the cross-check."""
     import collections
     import glob
     import gzip
@@ -126,6 +133,9 @@ def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
     import re
     import tempfile
 
+    if iter_args is None:
+        iter_args = [args] * iters
+    iters = len(iter_args)
     jitted = jax.jit(fn)
     comp = jitted.lower(*args).compile()
     txt = comp.as_text()
@@ -143,8 +153,8 @@ def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
     jax.block_until_ready(out)
     trace_dir = tempfile.mkdtemp(prefix="gencomm_mod_trace_")
     jax.profiler.start_trace(trace_dir)
-    for _ in range(iters):
-        out = jitted(*args)
+    for a in iter_args:
+        out = jitted(*a)
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
     paths = sorted(glob.glob(
@@ -188,6 +198,10 @@ def trace_by_module(fn, *args, iters: int = 5, depth: int = 3,
     if n_env:
         print(f"step envelope {envelope / n_env:.0f} us/execution "
               f"({n_env} executions)")
+        if n_env < iters:
+            print(f"WARNING: only {n_env}/{iters} executions in trace — "
+                  "backend deduped identical input buffers; per-iter times "
+                  "above are underreported. Pass distinct iter_args.")
     print(f"device total {total / iters:.0f} us/iter, by module "
           f"(unattributed {unattributed / total * 100:.0f}%):")
     for us, path in rows:
@@ -215,6 +229,7 @@ def main(argv=None):
     import gencomm_tpu
 
     gencomm_tpu.enable_persistent_cache()
+    gencomm_tpu.enable_fast_prng()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default=None)
     parser.add_argument("--hypes_yaml", default=None)
@@ -354,13 +369,22 @@ def main(argv=None):
         result.update(train_flops=tfl, train_mfu=train_mfu)
         if args.by_module:
             # per-module attribution of the TRAIN step (fwd+bwd+adam):
-            # a non-donating step so the tracer can replay the same
-            # buffers across its warmup + traced iterations
+            # a non-donating step so the tracer can replay buffers across
+            # its warmup + traced iterations. Keys must DIFFER per iter —
+            # the axon backend dedupes executions with identical input
+            # buffers (the envelope count printed below is the check).
             trace_step = trainer.make_train_step(
                 model, criterion, tx, donate=False)
+            n_trace = 5
+            trace_keys = [
+                jax.device_put(k) for k in
+                jax.device_get(jax.random.split(base_key, n_trace))
+            ]
+            jax.block_until_ready(trace_keys)
             trace_by_module(
                 lambda s, b_, k: trace_step(s, b_, k)[0].params,
-                state, batch, base_key)
+                state, batch, base_key,
+                iter_args=[(state, batch, k) for k in trace_keys])
         stats = jax.devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
         if peak:

@@ -38,6 +38,7 @@ def main(argv=None):
     import gencomm_tpu
 
     gencomm_tpu.enable_persistent_cache()
+    gencomm_tpu.enable_fast_prng()
     parser = argparse.ArgumentParser()
     parser.add_argument("--hypes_yaml", "-y", required=True)
     parser.add_argument("--dataset", default="synthetic")
@@ -46,6 +47,9 @@ def main(argv=None):
     parser.add_argument("--workers", type=int, default=0,
                         help="shard the host pipeline over N forked "
                              "processes (multi-core VMs)")
+    parser.add_argument("--half", action="store_true",
+                        help="bf16 activation path (tools/inference.py "
+                             "--half)")
     args = parser.parse_args(argv)
 
     from gencomm_tpu.config.yaml_utils import load_yaml
@@ -56,6 +60,8 @@ def main(argv=None):
     from gencomm_tpu.tools.train import build_dataset, batches
 
     hypes = load_yaml(args.hypes_yaml, None)
+    if args.half:
+        hypes["model"]["args"]["half"] = True
     model = create_model(hypes)
     dataset = build_dataset(hypes, True, args.dataset)
 

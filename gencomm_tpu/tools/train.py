@@ -68,8 +68,10 @@ def build_dataset(hypes: dict, train: bool, dataset: str):
         # robustness knobs (inference --pos_std/--rot_std/--delay write
         # these blocks; the real loaders consume them natively, the
         # synthetic generator through its config)
+        from gencomm_tpu.utils.pose_utils import pose_noise_enabled
+
         ns = hypes.get("noise_setting", {})
-        nargs = ns.get("args", {}) if ns.get("add_noise") else {}
+        nargs = ns.get("args", {}) if pose_noise_enabled(ns) else {}
         ws = hypes.get("wild_setting", {})
         cfg = SyntheticConfig(
             lidar_range=tuple(hypes["preprocess"]["cav_lidar_range"]),

@@ -59,13 +59,23 @@ def remove_z_axis(T: np.ndarray) -> np.ndarray:
     return T
 
 
+def pose_noise_enabled(noise_setting: dict | None) -> bool:
+    """Reference gate (pose_utils.py:14): pose noise requires BOTH
+    ``add_noise`` and ``add_pose_noise`` present-and-true. Our CLI writers
+    (inference --pos_std/--rot_std) set both keys."""
+    ns = noise_setting or {}
+    return bool(ns.get("add_noise", False)) and bool(
+        "add_pose_noise" in ns and ns["add_pose_noise"]
+    )
+
+
 def add_noise_to_poses(poses: np.ndarray, noise_setting: dict | None,
                        rng: np.random.RandomState | None = None) -> np.ndarray:
     """poses: (N, 6) with slot 0 = ego (kept clean, as the reference keeps
     the ego pose noiseless only when noise_target_ratio logic is absent —
     reference noises ALL agents incl. ego in add_noise_data_dict; we follow
     that: every agent's pose is perturbed)."""
-    if not noise_setting or not noise_setting.get("add_noise", False):
+    if not pose_noise_enabled(noise_setting):
         return poses.copy()
     args = noise_setting.get("args", {})
     pos_std = args.get("pos_std", 0.0)

@@ -18,7 +18,9 @@ Metrics per K (vs dense, same frames, same weights):
   top100_overlap mean fraction of the dense top-100 scoring cells kept in
                  the K-splat top-100 (ranking agreement - the AP-relevant
                  statistic: AP only sees score ORDER)
-  reg_rel_l2     relative L2 of reg deltas on the dense top-100 cells
+  reg_rel_l2     relative L2 of reg deltas over the FULL reg map
+  reg_rel_l2_top100  same, restricted to the dense top-100 scoring cells
+                 (the boxes AP actually sees)
 
 Usage:
   python scripts/camera_topk_fidelity.py --model_dir logs/cam_conv_k8 \
@@ -111,12 +113,19 @@ def main():
             reg_all.append(np.asarray(r).reshape(-1, r.shape[-1]))
         return np.stack(cls_all), np.stack(reg_all)  # (F, cells), (F*?, 7)
 
-    # Dense reference via the top-K code path at K=D (48): keeping every
-    # bin through the top-K splat is numerically the dense splat (the kept
-    # mass renormalization is exact at K=D) but compiles like the other
-    # variants — the depth_topk=0 dense-splat program is ~25x larger and
-    # stalled >12 min compiling through the tunnel in the r4 sweep.
-    d_bins = 48
+    # Dense reference via the top-K code path at K=D: keeping every bin
+    # through the top-K splat is numerically the dense splat (the kept mass
+    # renormalization is exact at K=D) but compiles like the other variants
+    # — the depth_topk=0 dense-splat program is ~25x larger and stalled
+    # >12 min compiling through the tunnel in the r4 sweep. D comes from
+    # the config's depth discretization (the splat clamps k=min(K, D), so
+    # a hardcoded K < D would silently make the "dense" run a top-K one).
+    cams = camera_settings(hypes)
+    assert cams, "no camera modality in this config"
+    d_bins = {int(m["encoder_args"]["grid_conf"]["ddiscr"][2]) for m in cams}
+    assert len(d_bins) == 1, f"mixed depth-bin counts {d_bins}"
+    d_bins = d_bins.pop()
+    print(f"dense-equivalent K = D = {d_bins}")
     cls_ref, reg_ref = head_outputs(d_bins)
     top_ref = np.argsort(-cls_ref, axis=1)[:, :100]
 
@@ -132,11 +141,31 @@ def main():
         reg_rel = float(
             np.linalg.norm(reg_k - reg_ref) / np.linalg.norm(reg_ref)
         )
+        # restricted to the dense top-100 cells: cls cell index i raveled
+        # over (H, W, A) -> reg row i // A (reg rows are per-position with
+        # A*7 channels), slice (i % A)*7:(i % A + 1)*7
+        n_frames = cls_ref.shape[0]
+        reg_ref2 = reg_ref.reshape(-1, reg_ref.shape[-1])
+        reg_k2 = reg_k.reshape(-1, reg_k.shape[-1])
+        rows_per_frame = reg_ref2.shape[0] // n_frames
+        anchors = cls_ref.shape[1] // rows_per_frame
+        ch_per_anchor = reg_ref2.shape[1] // anchors
+        num, den = 0.0, 0.0
+        for f in range(n_frames):
+            pos = top_ref[f] // anchors + f * rows_per_frame
+            a = top_ref[f] % anchors
+            for i in range(100):
+                sl = slice(a[i] * ch_per_anchor, (a[i] + 1) * ch_per_anchor)
+                d = reg_k2[pos[i], sl] - reg_ref2[pos[i], sl]
+                num += float(d @ d)
+                den += float(reg_ref2[pos[i], sl] @ reg_ref2[pos[i], sl])
+        reg_rel_top = float(np.sqrt(num / max(den, 1e-12)))
         results[f"topk{k}"] = {
             "cls_rel_l2": round(float(rel), 5),
             "cls_max_abs": round(mx, 5),
             "top100_overlap": round(overlap, 4),
             "reg_rel_l2": round(reg_rel, 5),
+            "reg_rel_l2_top100": round(reg_rel_top, 5),
         }
         print(f"topk{k}", results[f"topk{k}"], flush=True)
 

@@ -115,7 +115,8 @@ def test_loader_comm_delay(mock_root):
 def test_loader_pose_noise(mock_root):
     params = dict(PARAMS, root_dir=mock_root, validate_dir=mock_root)
     params["noise_setting"] = {
-        "add_noise": True, "args": {"pos_std": 0.5, "rot_std": 2.0},
+        "add_noise": True, "add_pose_noise": True,
+        "args": {"pos_std": 0.5, "rot_std": 2.0},
     }
     ds = OPV2VDataset(params, train=False, max_points=2048)
     s = ds[0]
@@ -124,6 +125,16 @@ def test_loader_pose_noise(mock_root):
     # noisy relative pose differs from the clean one but not wildly
     assert not np.allclose(p, [8.0, 2.0], atol=1e-3)
     assert np.linalg.norm(p - [8.0, 2.0]) < 5.0
+
+    # reference gate parity (pose_utils.py:14): add_noise alone, without
+    # add_pose_noise present-and-true, must leave poses CLEAN
+    params2 = dict(PARAMS, root_dir=mock_root, validate_dir=mock_root)
+    params2["noise_setting"] = {
+        "add_noise": True, "args": {"pos_std": 0.5, "rot_std": 2.0},
+    }
+    ds2 = OPV2VDataset(params2, train=False, max_points=2048)
+    p2 = (ds2[0]["pairwise_t_matrix"][1, 0] @ np.array([0.0, 0, 0, 1]))[:2]
+    assert np.allclose(p2, [8.0, 2.0], atol=1e-3)
 
 
 def test_augmentor_wiring_late(mock_root):

@@ -103,3 +103,52 @@ def test_eval_ap_with_false_positive():
     ap = eval_utils.calculate_ap(stat, 0.5, global_sort_detections=False)
     # VOC-2010: precision at recall 1 is 0.5 after the FP ranks first
     assert 0.4 < ap < 0.75
+
+
+def test_generate_label_sparse_matches_dense():
+    """The structured-grid sparse label path (r5 host optimization) is
+    BIT-EXACT vs the dense IoU path on random GT sets."""
+    from gencomm_tpu.data.postprocessor import (
+        _anchor_statics, _finish_label_dense, generate_label,
+    )
+    from gencomm_tpu.utils import box_utils
+
+    anchor_args = {
+        "W": 128, "H": 64, "l": 4.5, "w": 2.0, "h": 1.56, "r": [0, 90],
+        "feature_stride": 2, "num": 2,
+        "cav_lidar_range": [-25.6, -12.8, -3, 25.6, 12.8, 1],
+        "vh": 0.4, "vw": 0.4,
+    }
+    anchors = generate_anchor_box(anchor_args, "hwl")
+    assert _anchor_statics(anchors, "hwl")["structured"]
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = int(rng.integers(1, 8))
+        gt = np.zeros((10, 7), np.float32)
+        mask = np.zeros(10, np.int32)
+        gt[:n, 0] = rng.uniform(-24, 24, n)
+        gt[:n, 1] = rng.uniform(-12, 12, n)
+        gt[:n, 3] = rng.uniform(1.2, 2.2, n)
+        gt[:n, 4] = rng.uniform(1.6, 2.6, n)
+        gt[:n, 5] = rng.uniform(3.5, 5.5, n)
+        gt[:n, 6] = rng.uniform(-np.pi, np.pi, n)
+        mask[:n] = 1
+        got = generate_label(gt, mask, anchors, 0.6, 0.45)
+
+        fm = anchors.shape[:2]
+        a_num = anchors.shape[2]
+        af = anchors.reshape(-1, 7)
+        ad = np.sqrt(af[:, 4] ** 2 + af[:, 5] ** 2)
+        gv = gt[mask == 1]
+        asu = box_utils.corners_to_standup_2d(
+            box_utils.boxes_to_corners_3d(af, "hwl")[:, :4])
+        gsu = box_utils.corners_to_standup_2d(
+            box_utils.boxes_to_corners_3d(gv, "hwl")[:, :4])
+        iou = box_utils.aligned_iou_2d(asu, gsu)
+        want = _finish_label_dense(
+            iou, gv, af, ad, fm, a_num, 0.6, 0.45,
+            np.zeros((*fm, a_num), np.float32),
+            np.zeros((*fm, a_num), np.float32),
+            np.zeros((*fm, a_num * 7), np.float32))
+        for k in got:
+            assert np.array_equal(got[k], want[k]), k

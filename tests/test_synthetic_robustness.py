@@ -79,7 +79,7 @@ def test_build_dataset_threads_noise_and_delay():
         "postprocess": {"anchor_args": {"feature_stride": 4}},
         "train_params": {"max_cav": 3},
         "model": {"core_method": "point_pillar", "args": {}},
-        "noise_setting": {"add_noise": True,
+        "noise_setting": {"add_noise": True, "add_pose_noise": True,
                           "args": {"pos_std": 0.3, "rot_std": 0.2,
                                    "laplace": True}},
         "wild_setting": {"async": True, "async_overhead": 200},
