@@ -51,6 +51,10 @@ def build_flagship(half: bool = True):
                     "voxel_size": [0.4, 0.4, 4.0],
                     "lidar_range": list(cfg.lidar_range),
                     "pillar_vfe": {"use_norm": True, "num_filters": [64]},
+                    # stripe-padded host layout -> Pallas MXU segment-max
+                    # canvas (bit-exact vs the XLA scatter; the scatter was
+                    # the step's single hottest op in the r5 device trace)
+                    "striped_scatter": True,
                 },
                 "backbone_args": {
                     "layer_nums": [3, 5, 8],
@@ -99,11 +103,18 @@ def main():
     vz = PillarVoxelizer(cfg.lidar_range, (0.4, 0.4, 4.0))
 
     def decorate(host_batch):
+        from gencomm_tpu.native import stripe_pad_sorted
+        from gencomm_tpu.ops.pillar_pallas import STRIPE_CELLS, CHUNK_ROWS
+
         pts = host_batch["points_m1"]
         b, l, p, _ = pts.shape
         f, g, v = vz.decorate_batch(pts.reshape(b * l, p, 4))
-        return (f.reshape(b, l, p, 10), g.reshape(b, l, p),
-                v.reshape(b, l, p))
+        nx, ny, _ = vz.grid
+        f, g, v = stripe_pad_sorted(f, g, v, nx * ny,
+                                    STRIPE_CELLS, CHUNK_ROWS)
+        p2 = f.shape[1]
+        return (f.reshape(b, l, p2, 10), g.reshape(b, l, p2),
+                v.reshape(b, l, p2))
 
     feats, gids, valid = decorate(host)
     base = {k: jnp.asarray(v) for k, v in host.items()

@@ -66,9 +66,29 @@ def host_decorate_pillars(batch: Dict[str, np.ndarray],
         feats, gids, valid = vz.decorate_batch(
             np.ascontiguousarray(pts.reshape(b * l, p, 4))
         )
-        out[f"decorated_{mname}"] = feats.reshape(b, l, p, 10)
-        out[f"gids_{mname}"] = gids.reshape(b, l, p)
-        out[f"dvalid_{mname}"] = valid.reshape(b, l, p)
+        if enc.get("striped_scatter", False):
+            # stripe-padded layout for the Pallas segment-max canvas
+            # kernel (ops/pillar_pallas.py); the encoder reads the SAME
+            # config key, so layout and consumer always agree
+            from gencomm_tpu.native import stripe_pad_sorted
+            from gencomm_tpu.ops.pillar_pallas import (
+                STRIPE_CELLS, CHUNK_ROWS,
+            )
+
+            nx = int(round((enc["lidar_range"][3] - enc["lidar_range"][0])
+                           / enc["voxel_size"][0]))
+            ny = int(round((enc["lidar_range"][4] - enc["lidar_range"][1])
+                           / enc["voxel_size"][1]))
+            feats, gids, valid = stripe_pad_sorted(
+                feats, gids, valid, nx * ny, STRIPE_CELLS, CHUNK_ROWS)
+            p2 = feats.shape[1]
+            out[f"decorated_{mname}"] = feats.reshape(b, l, p2, 10)
+            out[f"gids_{mname}"] = gids.reshape(b, l, p2)
+            out[f"dvalid_{mname}"] = valid.reshape(b, l, p2)
+        else:
+            out[f"decorated_{mname}"] = feats.reshape(b, l, p, 10)
+            out[f"gids_{mname}"] = gids.reshape(b, l, p)
+            out[f"dvalid_{mname}"] = valid.reshape(b, l, p)
         del out[pts_key]
         out.pop(mask_key, None)
     return out

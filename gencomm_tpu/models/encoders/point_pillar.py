@@ -89,6 +89,12 @@ class PointPillarEncoder(nn.Module):
     max_points_per_pillar: int = 0  # 0 = uncapped (TPU default)
     # AMP analog: bf16 PFN matmul + bf16 scatter traffic (params fp32)
     dtype: object = None
+    # stripe-padded host layout (native.stripe_pad_sorted) -> the canvas
+    # is built by the Pallas segment-max kernel at eval instead of the
+    # serialized XLA scatter (ops/pillar_pallas.py; bit-exact, ~4x). The
+    # loader must emit the matching layout (decorate.py reads the same
+    # config key `striped_scatter`).
+    striped: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -169,6 +175,16 @@ class PointPillarEncoder(nn.Module):
         # max_i(bf16(x_i)) == bf16(max_i(x_i)) — bit-identical downstream
         # at half the scatter HBM traffic.
         masked = jnp.where(valid[:, None], x, 0.0).astype(jnp.bfloat16)
+        if self.striped and not train and jax.default_backend() == "tpu":
+            # stripe-padded rows -> MXU segment-max kernel (bit-exact vs
+            # the scatter below; eval-only — training keeps the scatter
+            # for autodiff)
+            from gencomm_tpu.ops.pillar_pallas import striped_pillar_canvas
+
+            canvas = striped_pillar_canvas(
+                masked, jnp.minimum(gids.reshape(-1), ncell - 1),
+                n_agents=b * l, ncell=ncell)
+            return canvas.reshape(b, l, ny, nx, x.shape[-1])
         canvas = jnp.zeros((b * l * ncell, x.shape[-1]), jnp.bfloat16)
         canvas = canvas.at[flat_gids].max(masked, indices_are_sorted=True)
         return canvas.reshape(b, l, ny, nx, x.shape[-1])

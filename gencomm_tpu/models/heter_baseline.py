@@ -89,6 +89,8 @@ class ModalityBranch(nn.Module):
                 ),
                 use_norm=self.encoder_args["pillar_vfe"].get("use_norm", True),
                 dtype=self.dtype,
+                striped=bool(
+                    self.encoder_args.get("striped_scatter", False)),
                 name="encoder",
             )
             if "decorated" in inputs:

@@ -231,3 +231,60 @@ class PillarVoxelizer:
             i = order[s]
             coords[s] = (idx[i, 2], idx[i, 1], idx[i, 0])
         return voxels, coords, counts, nv
+
+
+def stripe_pad_sorted(feats: np.ndarray, gids: np.ndarray,
+                      valid: np.ndarray, ncell: int,
+                      stripe_cells: int, chunk_rows: int):
+    """Re-emit sorted decorated rows in STRIPE-PADDED layout for the
+    Pallas segment-max canvas kernel (ops/pillar_pallas.py).
+
+    Contract: rows of each canvas *stripe* (``stripe_cells`` contiguous
+    cells) are padded to a multiple of ``chunk_rows`` so every chunk's rows
+    map into exactly one stripe, and chunk stripe ids are non-decreasing.
+    Invalid rows are dropped; pad rows have valid=0, feats=0 and repeat the
+    previous real gid (joining its run — max sees a 0, a no-op for the
+    >= 0 post-ReLU features).
+
+    feats (A, P, F), gids (A, P) sorted asc with invalid == dump >= ncell,
+    valid (A, P) -> (A, N_out, F), (A, N_out), (A, N_out) with
+    N_out = striped_rows(P, ncell, stripe_cells, chunk_rows) static.
+    """
+    a, p, f = feats.shape
+    n_out = striped_rows(p, ncell, stripe_cells, chunk_rows)
+    out_f = np.zeros((a, n_out, f), feats.dtype)
+    out_g = np.zeros((a, n_out), np.int32)
+    out_v = np.zeros((a, n_out), bool)
+    for i in range(a):
+        g = gids[i]
+        v = valid[i].astype(bool)
+        n_real = int(v.sum())  # valid rows sort first (invalid gid = dump)
+        if n_real == 0:
+            continue
+        g = g[:n_real]
+        stripe = g // stripe_cells
+        # stripe run boundaries in the sorted order
+        starts = np.flatnonzero(np.concatenate(
+            [[True], stripe[1:] != stripe[:-1]]))
+        ends = np.append(starts[1:], n_real)
+        pos = 0
+        for s0, s1 in zip(starts, ends):
+            ln = s1 - s0
+            out_f[i, pos:pos + ln] = feats[i, s0:s1]
+            out_g[i, pos:pos + ln] = g[s0:s1]
+            out_v[i, pos:pos + ln] = True
+            end = pos + ln
+            pad_to = -(-end // chunk_rows) * chunk_rows
+            out_g[i, end:pad_to] = g[s1 - 1]  # join last run, value 0
+            pos = pad_to
+        out_g[i, pos:] = g[n_real - 1]  # tail chunks: stay in last stripe
+    return out_f, out_g, out_v
+
+
+def striped_rows(p: int, ncell: int, stripe_cells: int,
+                 chunk_rows: int) -> int:
+    """Static worst-case row count of the stripe-padded layout."""
+    n_stripes = -(-ncell // stripe_cells)
+    n_nonempty = min(n_stripes, p)
+    n = p + n_nonempty * (chunk_rows - 1)
+    return -(-n // chunk_rows) * chunk_rows
