@@ -34,10 +34,11 @@ Values must be >= 0 (post-ReLU, invalid rows masked to 0) — zero is used
 as the max identity throughout, exactly like the zero-init canvas of the
 XLA scatter path, so empty pillars stay exactly 0.
 
-Feature rows enter TRANSPOSED (C, M): the in-kernel shift-max then runs
-along the lane axis and the (1, R) gid row broadcasts against (C, R)
-without any sublane/lane transpose; the head matmul contracts the lane
-axis of both operands ((T, R) x (C, R) -> (T, C)).
+Feature rows enter in their natural (M, C) layout; each chunk is
+transposed to (C, R) in-kernel by an identity one-hot MXU matmul so the
+shift-max runs along the lane axis and the (1, R) gid row broadcasts
+against (C, R) without any sublane/lane vector transpose; the head matmul
+then contracts the lane axis of both operands ((T, R) x (C, R) -> (T, C)).
 """
 
 from __future__ import annotations
@@ -54,10 +55,21 @@ STRIPE_CELLS = 1024
 CHUNK_ROWS = 128
 
 
-def _kernel(cs_ref, first_ref, ids_ref, xt_ref, out_ref, *, t, r):
+def _kernel(cs_ref, first_ref, ids_ref, x_ref, out_ref, *, t, r):
     c = pl.program_id(0)
     ids = ids_ref[pl.ds(c % 8, 1), :]  # (1, R) stripe-local cell ids
-    x = xt_ref[:]  # (C, R), rows >= 0, pad rows 0
+    # in-kernel transpose (R, C) -> (C, R) via an identity one-hot matmul
+    # (MXU; bit-exact — each sum has a single 1*v term). Keeping the
+    # global x in its natural (M, C) layout avoids a full-array transpose
+    # copy that XLA would otherwise insert before the kernel.
+    xr = x_ref[:]  # (R, C) rows >= 0, pad rows 0
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    eye = (r_iota == jax.lax.broadcasted_iota(jnp.int32, (r, r), 1))
+    x = jax.lax.dot_general(
+        xr, eye.astype(xr.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xr.dtype)  # (C, R)
 
     # chunk-local segmented max: after step s, x[:, i] covers rows
     # i..i+2s-1 of its run; sorted order makes runs contiguous
@@ -130,8 +142,6 @@ def striped_pillar_canvas(x, gids, n_agents: int, ncell: int,
     if pad8:
         local = jnp.pad(local, ((0, pad8), (0, 0)))
 
-    xt = x.T  # (C, M); the C++ side keeps C small (64-128)
-
     out = pl.pallas_call(
         partial(_kernel, t=t, r=r),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -140,7 +150,7 @@ def striped_pillar_canvas(x, gids, n_agents: int, ncell: int,
             in_specs=[
                 pl.BlockSpec((8, r), lambda c, cs, fr: (c // 8, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((c_ch, r), lambda c, cs, fr: (0, c),
+                pl.BlockSpec((r, c_ch), lambda c, cs, fr: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((t, c_ch), lambda c, cs, fr: (cs[c], 0),
@@ -148,7 +158,7 @@ def striped_pillar_canvas(x, gids, n_agents: int, ncell: int,
         ),
         out_shape=jax.ShapeDtypeStruct((s_total * t, c_ch), x.dtype),
         interpret=interpret,
-    )(cs, first, local, xt)
+    )(cs, first, local, x)
 
     visited = jnp.zeros((s_total,), bool).at[cs].set(True)
     out = jnp.where(visited[:, None, None],
