@@ -34,7 +34,7 @@ from gencomm_tpu.pipeline import InferencePipeline
 PYTORCH_GPU_BASELINE_FPS = 10.0
 
 
-def build_flagship(half: bool = True):
+def build_flagship(half: bool = True, striped: bool = True):
     cfg = SyntheticConfig(
         lidar_range=(-102.4, -51.2, -3.0, 102.4, 51.2, 1.0),
         max_cav=5,
@@ -54,7 +54,7 @@ def build_flagship(half: bool = True):
                     # stripe-padded host layout -> Pallas MXU segment-max
                     # canvas (bit-exact vs the XLA scatter; the scatter was
                     # the step's single hottest op in the r5 device trace)
-                    "striped_scatter": True,
+                    "striped_scatter": striped,
                 },
                 "backbone_args": {
                     "layer_nums": [3, 5, 8],
@@ -85,8 +85,8 @@ def build_flagship(half: bool = True):
     return scenes, model, cfg
 
 
-def main():
-    scenes, model, cfg = build_flagship(half=True)
+def main(striped: bool = True):
+    scenes, model, cfg = build_flagship(half=True, striped=striped)
     host = scenes.sample(seed=0, batch_size=1)
     rng = jax.random.PRNGKey(0)
     from gencomm_tpu.train.trainer import cpu_init
@@ -109,9 +109,10 @@ def main():
         pts = host_batch["points_m1"]
         b, l, p, _ = pts.shape
         f, g, v = vz.decorate_batch(pts.reshape(b * l, p, 4))
-        nx, ny, _ = vz.grid
-        f, g, v = stripe_pad_sorted(f, g, v, nx * ny,
-                                    STRIPE_CELLS, CHUNK_ROWS)
+        if striped:
+            nx, ny, _ = vz.grid
+            f, g, v = stripe_pad_sorted(f, g, v, nx * ny,
+                                        STRIPE_CELLS, CHUNK_ROWS)
         p2 = f.shape[1]
         return (f.reshape(b, l, p2, 10), g.reshape(b, l, p2),
                 v.reshape(b, l, p2))
