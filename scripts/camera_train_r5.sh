@@ -25,7 +25,7 @@ run timeout 14400 python -m gencomm_tpu.tools.train \
 
 # AP curve over the saved per-epoch checkpoints
 run timeout 3600 python scripts/camera_convergence_curve.py \
-    --model_dir "$OUT" --frames 30 \
+    --model_dir "$OUT" --frames 30 --steps_per_epoch 400 \
     --out measurements/camera_convergence_r5.json \
     2>&1 | tee logs/cam_r5_convergence.log
 
