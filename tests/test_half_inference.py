@@ -10,6 +10,7 @@ lives in measurements/bf16_parity.json (scripts/bf16_parity.py).
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from gencomm_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
 from gencomm_tpu.models.heter_baseline import HeterModel
@@ -89,6 +90,7 @@ def test_half_gencomm_matches_fp32():
     assert len(t32 & t16) >= 35
 
 
+@pytest.mark.slow
 def test_half_gencomm_train_step_runs():
     """Gen/detection losses accept bf16 pred/gt features (cast in loss)."""
     from gencomm_tpu.loss.point_pillar_loss import PointPillarGenCommLoss
