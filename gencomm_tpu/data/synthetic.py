@@ -182,7 +182,7 @@ class SyntheticScenes:
     def sample(self, seed: int, batch_size: int = 1) -> dict:
         """Generate a batch dict of numpy arrays (model inputs + labels +
         eval GT)."""
-        rng = np.random.RandomState(seed)
+        rng = np.random.RandomState(seed % (2 ** 32))
         c = self.cfg
         B, L, P = batch_size, c.max_cav, c.points_per_agent
         mod_names = list(c.modalities)
@@ -231,7 +231,10 @@ class SyntheticScenes:
                 poses[i, 4] = rng.uniform(-180, 180)
             # pose estimates for the warp: true poses + (optional) noise
             # drawn from a scene-independent stream (see config docstring)
-            nrng = np.random.RandomState((seed * 131 + b) ^ 0x5EED)
+            # seeds can exceed 2**32 (val streams use seed*10000+step);
+            # RandomState requires uint32
+            nrng = np.random.RandomState(((seed * 131 + b) ^ 0x5EED)
+                                         % (2 ** 32))
             est_poses = poses.copy()
             if c.pos_std > 0 or c.rot_std > 0:
                 draw = (nrng.laplace if c.laplace_noise else nrng.normal)

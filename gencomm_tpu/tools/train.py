@@ -122,7 +122,7 @@ def batches(dataset, batch_size: int, seed: int, dataset_kind: str):
             yield dataset.sample(seed * 10000 + step, batch_size)
             step += 1
     else:
-        idx = np.random.RandomState(seed).permutation(len(dataset))
+        idx = np.random.RandomState(seed % (2 ** 32)).permutation(len(dataset))
         for start in range(0, len(idx) - batch_size + 1, batch_size):
             samples = [dataset[i] for i in idx[start : start + batch_size]]
             yield dataset.collate(samples)
